@@ -1,0 +1,194 @@
+"""Cell-grid neighbor binning — TPU-native replacement for the reference's
+sort/bin/prefix machinery.
+
+The reference pipeline per step is: thrust::sort_by_key on cell ids
+(solver.cu:181), ``findneighbours`` marking per-cell start/end indices
+(FluidGPU.cu:106-117), then a shared-memory population-count + compacted
+prefix map assigning one CUDA thread per neighbor particle
+(FluidGPU.cu:150-213).
+
+Here the same structure becomes dense, static-shape tensor ops:
+
+1. sort particles by linearized cell id (``jnp.argsort`` stable) —
+   out-of-domain or dead particles get a sentinel id that sorts last
+   (the analog of the reference's 90.99 teleport trick,
+   FluidGPU-unidyn.cu:272);
+2. a cell-start table via one ``searchsorted`` over all cells — the
+   analog of ``findneighbours``'s start/end arrays;
+3. neighbor candidates as 9 contiguous *runs*: because the cell id is
+   row-major with z fastest, the three stencil cells (z-1, z, z+1) of
+   any (x+dx, y+dy) column are contiguous both in cell-id space and in
+   the sorted particle array.  The 27-cell stencil (FluidGPU.cu:124-126)
+   is therefore 9 contiguous index ranges of at most 3*max_per_cell
+   slots each — a gather pattern that XLA handles well and that maps
+   directly onto dynamic-slice DMA in a Pallas kernel.
+
+Capacity overflow (a run holding more than 3*max_per_cell particles) is
+deterministic — the highest sorted ranks are dropped — and surfaced as a
+count (the reference silently skips cells with population >= 64 in its
+thread-budget sum, FluidGPU.cu:174).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpufluids.config import SPHConfig
+from tpufluids.state import ParticleState
+
+# The 9 (dx, dy) run offsets of the 27-cell stencil.
+RUN_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def cell_coords(pos: jax.Array, cfg: SPHConfig):
+    """Per-axis cell coordinates with C-style truncation toward zero,
+    matching ``int((x - XMIN)/CELLSIZE)`` (FluidGPU.cu:419)."""
+    scaled = (pos - jnp.array([cfg.xmin, cfg.ymin, cfg.zmin],
+                              pos.dtype)) / jnp.float32(cfg.cell_size)
+    c = jnp.trunc(scaled).astype(jnp.int32)
+    return c[:, 0], c[:, 1], c[:, 2]
+
+
+def cell_id(pos: jax.Array, alive: jax.Array, cfg: SPHConfig):
+    """Linear cell id; out-of-domain or dead particles get the sentinel
+    ``num_cells`` so they sort to the end and never appear in a run."""
+    g = cfg.grid_size
+    cx, cy, cz = cell_coords(pos, cfg)
+    in_dom = ((cx >= 0) & (cx < g) & (cy >= 0) & (cy < g)
+              & (cz >= 0) & (cz < g))
+    lin = cx * (g * g) + cy * g + cz
+    return jnp.where(in_dom & alive, lin, cfg.num_cells), in_dom
+
+
+class BinTable(NamedTuple):
+    """Sorted-order binning tables for one step."""
+    order: jax.Array        # (N,) permutation applied to the state
+    cid: jax.Array          # (N,) sorted cell ids (sentinel = num_cells)
+    cx: jax.Array           # (N,) sorted per-axis coords
+    cy: jax.Array
+    cz: jax.Array
+    in_dom: jax.Array       # (N,) bool, sorted
+    cell_start: jax.Array   # (num_cells + 2,) first sorted index of cell c
+    run_start: jax.Array    # (N, 9) start of each (dx,dy) neighbor run
+    run_len: jax.Array      # (N, 9) clipped run length
+    home_count: jax.Array   # (N,) population of the particle's own cell
+    octant: jax.Array       # (N,) sub-bin octant id (for subbin parity mode)
+    overflow: jax.Array     # () total dropped candidate slots this step
+
+
+def sort_by_cell(state: ParticleState, cfg: SPHConfig):
+    """Reorder the whole particle pool by cell id (the reference's
+    thrust::sort_by_key over the AoS array, solver.cu:181) and build the
+    run tables."""
+    cid, _ = cell_id(state.pos, state.alive, cfg)
+    order = jnp.argsort(cid, stable=True)
+    state = jax.tree_util.tree_map(lambda a: a[order], state)
+    bt = build_bins(state, cfg, order=order)
+    return state, bt
+
+
+def build_bins(state: ParticleState, cfg: SPHConfig, order=None) -> BinTable:
+    """Build the BinTable for an already-cell-sorted state."""
+    g = cfg.grid_size
+    num_cells = cfg.num_cells
+    k3 = 3 * cfg.max_per_cell
+
+    cid, in_dom = cell_id(state.pos, state.alive, cfg)
+    cx, cy, cz = cell_coords(state.pos, cfg)
+    n = cid.shape[0]
+    if order is None:
+        order = jnp.arange(n, dtype=jnp.int32)
+
+    # cell_start[c] = first sorted index of cell c; c in [0, num_cells+1]
+    cell_start = jnp.searchsorted(
+        cid, jnp.arange(num_cells + 2, dtype=cid.dtype), side="left"
+    ).astype(jnp.int32)
+
+    home_count = cell_start[jnp.clip(cid, 0, num_cells) + 1] - cell_start[
+        jnp.clip(cid, 0, num_cells)]
+    home_count = jnp.where(cid < num_cells, home_count, 0)
+
+    zlo = jnp.maximum(cz - 1, 0)
+    zhi = jnp.minimum(cz + 1, g - 1)
+    starts, lens = [], []
+    overflow = jnp.zeros((), jnp.int32)
+    for dx, dy in RUN_OFFSETS:
+        nx, ny = cx + dx, cy + dy
+        valid = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g) & (cid < num_cells)
+        base = nx * (g * g) + ny * g
+        lo_cell = jnp.clip(base + zlo, 0, num_cells)
+        hi_cell = jnp.clip(base + zhi + 1, 0, num_cells + 1)
+        lo = cell_start[lo_cell]
+        hi = cell_start[hi_cell]
+        raw_len = jnp.where(valid, hi - lo, 0)
+        overflow = overflow + jnp.sum(jnp.maximum(raw_len - k3, 0))
+        starts.append(lo)
+        lens.append(jnp.minimum(raw_len, k3))
+    return BinTable(
+        order=order, cid=cid, cx=cx, cy=cy, cz=cz, in_dom=in_dom,
+        cell_start=cell_start,
+        run_start=jnp.stack(starts, axis=1),
+        run_len=jnp.stack(lens, axis=1),
+        home_count=home_count,
+        octant=octant(state.pos, cfg),
+        overflow=overflow,
+    )
+
+
+class Candidates(NamedTuple):
+    """Per-particle neighbor candidate slots (static shape (N, 9, 3K))."""
+    idx: jax.Array    # gather indices into the sorted arrays
+    mask: jax.Array   # slot validity (run length + self/subbin exclusions)
+
+
+def neighbor_candidates(bt: BinTable, cfg: SPHConfig,
+                        subbin_threshold: int | None = None) -> Candidates:
+    """Materialize the candidate index table.
+
+    With ``subbin_threshold`` set (parity mode for the reference's
+    adaptive two-level binning, FluidGPU-unidyn.cu:181-192 + mykernel3),
+    particles whose home cell population exceeds the threshold restrict
+    their stencil to the 8-cell octant neighborhood
+    (FluidGPU-unidyn.cu:579-583): allowed per-axis offsets become
+    {0, dir_axis} where dir is the half-cell octant direction.
+    """
+    n = bt.cid.shape[0]
+    k3 = 3 * cfg.max_per_cell
+    slot = jnp.arange(k3, dtype=jnp.int32)
+    idx = bt.run_start[:, :, None] + slot[None, None, :]       # (N, 9, K3)
+    mask = slot[None, None, :] < bt.run_len[:, :, None]
+    idx = jnp.clip(idx, 0, n - 1)
+
+    if subbin_threshold is not None:
+        # per-candidate (dx, dy, dz) relative cell offsets
+        dxy = jnp.array(RUN_OFFSETS, jnp.int32)                 # (9, 2)
+        dz = bt.cz[idx] - bt.cz[:, None, None]
+        dx = jnp.broadcast_to(dxy[None, :, 0:1], idx.shape)
+        dy = jnp.broadcast_to(dxy[None, :, 1:2], idx.shape)
+        o = bt.octant
+        dirx = jnp.where(o & 1, 1, -1)[:, None, None]
+        diry = jnp.where(o & 2, 1, -1)[:, None, None]
+        dirz = jnp.where(o & 4, -1, 1)[:, None, None]
+        octant_ok = (((dx == 0) | (dx == dirx))
+                     & ((dy == 0) | (dy == diry))
+                     & ((dz == 0) | (dz == dirz)))
+        overfull = (bt.home_count > subbin_threshold)[:, None, None]
+        mask = mask & jnp.where(overfull, octant_ok, True)
+    return Candidates(idx=idx, mask=mask)
+
+
+def octant(pos: jax.Array, cfg: SPHConfig) -> jax.Array:
+    """Sub-bin octant id (FluidGPU-unidyn.cu:182-184).  bit0 = x in the
+    upper half of its cell, bit1 = y upper half, bit2 = z *lower* half
+    (the z test is inverted in the reference)."""
+    cs = jnp.float32(cfg.cell_size)
+    mins = jnp.array([cfg.xmin, cfg.ymin, cfg.zmin], pos.dtype)
+    a = jnp.trunc((pos - mins) / cs)
+    b = jnp.trunc((pos - mins + cs / 2) / cs)
+    upper = a != b
+    return (upper[:, 0].astype(jnp.int32)
+            + 2 * upper[:, 1].astype(jnp.int32)
+            + 4 * (~upper[:, 2]).astype(jnp.int32))

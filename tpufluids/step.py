@@ -1,0 +1,97 @@
+"""Single-device step function and scan-based run loop.
+
+The reference's per-step pipeline (solver.cu:171-216;
+solver-unidyn.cu:313-573) is: thrust sort -> (unidyn) merge compaction
+count -> findneighbours binning -> coarse force kernel -> (unidyn) fine
+force kernel -> update kernel -> (multi-dev) exchange -> periodic VTK
+write -> cell recompute, with a host sync and print every step.
+
+Here the entire step is one pure function under ``jit``, and ``run``
+drives it with ``lax.scan`` so there are no host round-trips inside the
+loop (snapshots are taken between scan chunks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpufluids import adapt, binning
+from tpufluids.config import SPHConfig
+from tpufluids.forces import compute_forces
+from tpufluids.integrate import update
+from tpufluids.state import ParticleState
+
+
+class StepMetrics(NamedTuple):
+    """Per-step diagnostics (the reference only prints particle/merge
+    counts and kernel ms, solver-unidyn.cu:347-348)."""
+    n_alive: jax.Array
+    max_speed: jax.Array
+    total_mass: jax.Array
+    dens_residual: jax.Array   # max |dens - rho0| / rho0 over fluid
+    bin_overflow: jax.Array
+    n_split: jax.Array
+
+
+def sph_step(state: ParticleState, cfg: SPHConfig,
+             subbin_parity: bool = False) -> tuple[ParticleState, StepMetrics]:
+    """One physics step. Pure; safe under jit/scan/shard_map."""
+    state, bt = binning.sort_by_cell(state, cfg)
+    acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity)
+    if cfg.variant != "base" and cfg.merge_dist > 0:
+        state = adapt.apply_merges(state, acc.merge_partner, cfg)
+    state = update(state, acc, cfg)
+    if cfg.variant != "base" and cfg.split_reinjection:
+        state = adapt.apply_splits(state, cfg)
+
+    fluid_alive = state.alive & (~state.boundary)
+    metrics = StepMetrics(
+        n_alive=adapt.count_alive(state),
+        max_speed=jnp.max(jnp.where(
+            fluid_alive, jnp.linalg.norm(state.vel, axis=-1), 0.0)),
+        total_mass=jnp.sum(jnp.where(state.alive, state.mass, 0.0)),
+        dens_residual=jnp.max(jnp.where(
+            fluid_alive, jnp.abs(state.dens - cfg.rho0) / cfg.rho0, 0.0)),
+        bin_overflow=bt.overflow,
+        n_split=jnp.sum(state.split.astype(jnp.int32)),
+    )
+    return state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "subbin_parity"))
+def run_chunk(state: ParticleState, cfg: SPHConfig, n_steps: int,
+              subbin_parity: bool = False):
+    """Run ``n_steps`` under lax.scan; returns final state + stacked
+    per-step metrics."""
+
+    def body(s, _):
+        s, m = sph_step(s, cfg, subbin_parity)
+        return s, m
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def run(state: ParticleState, cfg: SPHConfig, n_steps: int,
+        snapshot_every: int = 0, snapshot_fn=None,
+        subbin_parity: bool = False):
+    """Drive the simulation; host callbacks only at snapshot cadence
+    (replacing the per-step device sync of the reference,
+    solver.cu:189-197)."""
+    chunk = snapshot_every if snapshot_every > 0 else n_steps
+    all_metrics = []
+    step = 0
+    while step < n_steps:
+        this = min(chunk, n_steps - step)
+        state, metrics = run_chunk(state, cfg, this,
+                                   subbin_parity=subbin_parity)
+        all_metrics.append(metrics)
+        step += this
+        if snapshot_fn is not None and snapshot_every > 0:
+            snapshot_fn(step, jax.device_get(state))
+    metrics = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *all_metrics)
+    return state, metrics
