@@ -1,0 +1,463 @@
+"""Stam-style stable-fluids solver (2D and 3D), TPU-first.
+
+This module implements the grid-solver reading of the north star
+(BASELINE.json): add-source, semi-Lagrangian advection, Jacobi
+diffusion, divergence + Jacobi pressure projection, ``set_bnd``
+boundary enforcement, vorticity confinement and a buoyancy/temperature
+("unidyn plume") forcing — the classic Stam "Real-Time Fluid Dynamics
+for Games" step structure, re-designed for XLA:
+
+* fields are dense (N+2)^d float32 arrays (one ghost layer), double-
+  buffered implicitly by functional updates;
+* the Jacobi/red-black sweeps run under ``lax.fori_loop`` so the whole
+  step is one compiled program — no host round-trips;
+* boundary enforcement is face-slice updates (fused by XLA), and
+  advection is one gather per field with clamped backtraces;
+* the same step runs sharded over a device mesh via
+  tpufluids.shard.grid_sharded (halo exchange on the ghost layers).
+
+The reference repo contains a particle solver, not this (SURVEY.md §0
+discrepancy note); this module exists to satisfy the BASELINE.json
+configs and shares the framework substrate (config/state/io/shard).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class StamConfig:
+    n: int = 128                 # interior cells per axis
+    dt: float = 0.1
+    diff: float = 0.0            # density diffusion coefficient
+    visc: float = 0.0            # kinematic viscosity
+    jacobi_iters: int = 20
+    red_black: bool = False      # red-black Gauss-Seidel projection
+    vorticity_eps: float = 0.0   # vorticity confinement strength
+    buoyancy_alpha: float = 0.0  # density weight (pulls smoke down)
+    buoyancy_beta: float = 0.0   # temperature weight (pushes plume up)
+    ambient_temp: float = 0.0
+    temp_diff: float = 0.0
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@struct.dataclass
+class GridState2D:
+    u: jax.Array      # (n+2, n+2) x-velocity
+    v: jax.Array      # (n+2, n+2) y-velocity
+    dens: jax.Array   # (n+2, n+2)
+    temp: jax.Array   # (n+2, n+2)
+
+
+@struct.dataclass
+class GridState3D:
+    u: jax.Array      # (n+2, n+2, n+2)
+    v: jax.Array
+    w: jax.Array
+    dens: jax.Array
+    temp: jax.Array
+
+
+def make_grid2d(cfg: StamConfig) -> GridState2D:
+    shape = (cfg.n + 2, cfg.n + 2)
+    z = jnp.zeros(shape, jnp.float32)
+    return GridState2D(u=z, v=z, dens=z,
+                       temp=jnp.full(shape, cfg.ambient_temp, jnp.float32))
+
+
+def make_grid3d(cfg: StamConfig) -> GridState3D:
+    shape = (cfg.n + 2, cfg.n + 2, cfg.n + 2)
+    z = jnp.zeros(shape, jnp.float32)
+    return GridState3D(u=z, v=z, w=z, dens=z,
+                       temp=jnp.full(shape, cfg.ambient_temp, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# set_bnd — Stam's boundary enforcement.  b = 0: continuity (copy),
+# b = k: negate the component normal to axis k-1 at that face.
+
+
+def set_bnd2d(b: int, x: jax.Array) -> jax.Array:
+    sx = -1.0 if b == 1 else 1.0
+    sy = -1.0 if b == 2 else 1.0
+    x = x.at[0, 1:-1].set(sx * x[1, 1:-1])
+    x = x.at[-1, 1:-1].set(sx * x[-2, 1:-1])
+    x = x.at[:, 0].set(sy * x[:, 1])
+    x = x.at[:, -1].set(sy * x[:, -2])
+    # corners = average of the two adjacent edge cells
+    x = x.at[0, 0].set(0.5 * (x[1, 0] + x[0, 1]))
+    x = x.at[0, -1].set(0.5 * (x[1, -1] + x[0, -2]))
+    x = x.at[-1, 0].set(0.5 * (x[-2, 0] + x[-1, 1]))
+    x = x.at[-1, -1].set(0.5 * (x[-2, -1] + x[-1, -2]))
+    return x
+
+
+def set_bnd3d(b: int, x: jax.Array) -> jax.Array:
+    sx = -1.0 if b == 1 else 1.0
+    sy = -1.0 if b == 2 else 1.0
+    sz = -1.0 if b == 3 else 1.0
+    x = x.at[0, :, :].set(sx * x[1, :, :])
+    x = x.at[-1, :, :].set(sx * x[-2, :, :])
+    x = x.at[:, 0, :].set(sy * x[:, 1, :])
+    x = x.at[:, -1, :].set(sy * x[:, -2, :])
+    x = x.at[:, :, 0].set(sz * x[:, :, 1])
+    x = x.at[:, :, -1].set(sz * x[:, :, -2])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# linear solvers (diffusion + pressure Poisson)
+
+
+def _jacobi_iter2d(x, x0, a, c_inv):
+    nb = (x[:-2, 1:-1] + x[2:, 1:-1] + x[1:-1, :-2] + x[1:-1, 2:])
+    return x.at[1:-1, 1:-1].set((x0[1:-1, 1:-1] + a * nb) * c_inv)
+
+
+def _jacobi_iter3d(x, x0, a, c_inv):
+    nb = (x[:-2, 1:-1, 1:-1] + x[2:, 1:-1, 1:-1]
+          + x[1:-1, :-2, 1:-1] + x[1:-1, 2:, 1:-1]
+          + x[1:-1, 1:-1, :-2] + x[1:-1, 1:-1, 2:])
+    return x.at[1:-1, 1:-1, 1:-1].set((x0[1:-1, 1:-1, 1:-1] + a * nb)
+                                      * c_inv)
+
+
+def _checker(shape3, parity):
+    i = jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
+    return ((i + j + k) % 2) == parity
+
+
+def lin_solve2d(b, x, x0, a, c, iters):
+    c_inv = 1.0 / c
+
+    def body(_, x):
+        x = _jacobi_iter2d(x, x0, a, c_inv)
+        return set_bnd2d(b, x)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+def lin_solve3d(b, x, x0, a, c, iters, red_black=False):
+    c_inv = 1.0 / c
+    if not red_black:
+        def body(_, x):
+            x = _jacobi_iter3d(x, x0, a, c_inv)
+            return set_bnd3d(b, x)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    mask0 = _checker((x.shape[0] - 2,) * 3, 0)
+
+    def body_rb(_, x):
+        for parity in (0, 1):
+            new = _jacobi_iter3d(x, x0, a, c_inv)
+            m = mask0 if parity == 0 else ~mask0
+            x = x.at[1:-1, 1:-1, 1:-1].set(
+                jnp.where(m, new[1:-1, 1:-1, 1:-1], x[1:-1, 1:-1, 1:-1]))
+            x = set_bnd3d(b, x)
+        return x
+
+    return jax.lax.fori_loop(0, iters, body_rb, x)
+
+
+def diffuse2d(b, x, cfg, coeff, iters=None):
+    n = x.shape[0] - 2
+    a = cfg.dt * coeff * n * n
+    return lin_solve2d(b, x, x, a, 1 + 4 * a, iters or cfg.jacobi_iters)
+
+
+def diffuse3d(b, x, cfg, coeff, iters=None):
+    n = x.shape[0] - 2
+    a = cfg.dt * coeff * n * n
+    return lin_solve3d(b, x, x, a, 1 + 6 * a, iters or cfg.jacobi_iters)
+
+
+# ---------------------------------------------------------------------------
+# semi-Lagrangian advection
+
+
+def advect2d(b, q, u, v, cfg):
+    n = q.shape[0] - 2
+    dt0 = cfg.dt * n
+    ii = jax.lax.broadcasted_iota(jnp.float32, (n, n), 0) + 1.0
+    jj = jax.lax.broadcasted_iota(jnp.float32, (n, n), 1) + 1.0
+    x = jnp.clip(ii - dt0 * u[1:-1, 1:-1], 0.5, n + 0.5)
+    y = jnp.clip(jj - dt0 * v[1:-1, 1:-1], 0.5, n + 0.5)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    j0 = jnp.floor(y).astype(jnp.int32)
+    s1, t1 = x - i0, y - j0
+    s0, t0 = 1 - s1, 1 - t1
+
+    def g(di, dj):
+        return q[i0 + di, j0 + dj]
+
+    out = (s0 * (t0 * g(0, 0) + t1 * g(0, 1))
+           + s1 * (t0 * g(1, 0) + t1 * g(1, 1)))
+    return set_bnd2d(b, q.at[1:-1, 1:-1].set(out))
+
+
+def advect3d(b, q, u, v, w, cfg):
+    n = q.shape[0] - 2
+    dt0 = cfg.dt * n
+    shape = (n, n, n)
+    ii = jax.lax.broadcasted_iota(jnp.float32, shape, 0) + 1.0
+    jj = jax.lax.broadcasted_iota(jnp.float32, shape, 1) + 1.0
+    kk = jax.lax.broadcasted_iota(jnp.float32, shape, 2) + 1.0
+    x = jnp.clip(ii - dt0 * u[1:-1, 1:-1, 1:-1], 0.5, n + 0.5)
+    y = jnp.clip(jj - dt0 * v[1:-1, 1:-1, 1:-1], 0.5, n + 0.5)
+    z = jnp.clip(kk - dt0 * w[1:-1, 1:-1, 1:-1], 0.5, n + 0.5)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    j0 = jnp.floor(y).astype(jnp.int32)
+    k0 = jnp.floor(z).astype(jnp.int32)
+    s1, t1, r1 = x - i0, y - j0, z - k0
+    s0, t0, r0 = 1 - s1, 1 - t1, 1 - r1
+
+    def g(di, dj, dk):
+        return q[i0 + di, j0 + dj, k0 + dk]
+
+    out = (s0 * (t0 * (r0 * g(0, 0, 0) + r1 * g(0, 0, 1))
+                 + t1 * (r0 * g(0, 1, 0) + r1 * g(0, 1, 1)))
+           + s1 * (t0 * (r0 * g(1, 0, 0) + r1 * g(1, 0, 1))
+                   + t1 * (r0 * g(1, 1, 0) + r1 * g(1, 1, 1))))
+    return set_bnd3d(b, q.at[1:-1, 1:-1, 1:-1].set(out))
+
+
+# ---------------------------------------------------------------------------
+# projection
+
+
+def divergence2d(u, v):
+    n = u.shape[0] - 2
+    h = 1.0 / n
+    return -0.5 * h * (u[2:, 1:-1] - u[:-2, 1:-1]
+                       + v[1:-1, 2:] - v[1:-1, :-2])
+
+
+def divergence3d(u, v, w):
+    n = u.shape[0] - 2
+    h = 1.0 / n
+    return -0.5 * h * (u[2:, 1:-1, 1:-1] - u[:-2, 1:-1, 1:-1]
+                       + v[1:-1, 2:, 1:-1] - v[1:-1, :-2, 1:-1]
+                       + w[1:-1, 1:-1, 2:] - w[1:-1, 1:-1, :-2])
+
+
+def poisson_residual2d(p, div):
+    """Max-norm residual of the compact 5-point Poisson solve
+    (the BASELINE "max divergence residual" metric: how well the Jacobi
+    projection solved its own system; the raw central-difference
+    divergence retains a checkerboard null space on Stam's collocated
+    grid and cannot reach zero)."""
+    nb = (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+    return jnp.max(jnp.abs(div[1:-1, 1:-1] + nb - 4.0 * p[1:-1, 1:-1]))
+
+
+def poisson_residual3d(p, div):
+    nb = (p[:-2, 1:-1, 1:-1] + p[2:, 1:-1, 1:-1]
+          + p[1:-1, :-2, 1:-1] + p[1:-1, 2:, 1:-1]
+          + p[1:-1, 1:-1, :-2] + p[1:-1, 1:-1, 2:])
+    return jnp.max(jnp.abs(div[1:-1, 1:-1, 1:-1] + nb
+                           - 6.0 * p[1:-1, 1:-1, 1:-1]))
+
+
+def project2d(u, v, cfg, with_residual: bool = False):
+    n = u.shape[0] - 2
+    h = 1.0 / n
+    div = jnp.zeros_like(u).at[1:-1, 1:-1].set(divergence2d(u, v))
+    div = set_bnd2d(0, div)
+    p = lin_solve2d(0, jnp.zeros_like(u), div, 1.0, 4.0, cfg.jacobi_iters)
+    u = u.at[1:-1, 1:-1].add(-0.5 * (p[2:, 1:-1] - p[:-2, 1:-1]) / h)
+    v = v.at[1:-1, 1:-1].add(-0.5 * (p[1:-1, 2:] - p[1:-1, :-2]) / h)
+    u, v = set_bnd2d(1, u), set_bnd2d(2, v)
+    if with_residual:
+        return u, v, poisson_residual2d(p, div)
+    return u, v
+
+
+def project3d(u, v, w, cfg, with_residual: bool = False):
+    n = u.shape[0] - 2
+    h = 1.0 / n
+    div = jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1].set(divergence3d(u, v, w))
+    div = set_bnd3d(0, div)
+    p = lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0, cfg.jacobi_iters,
+                    red_black=cfg.red_black)
+    u = u.at[1:-1, 1:-1, 1:-1].add(
+        -0.5 * (p[2:, 1:-1, 1:-1] - p[:-2, 1:-1, 1:-1]) / h)
+    v = v.at[1:-1, 1:-1, 1:-1].add(
+        -0.5 * (p[1:-1, 2:, 1:-1] - p[1:-1, :-2, 1:-1]) / h)
+    w = w.at[1:-1, 1:-1, 1:-1].add(
+        -0.5 * (p[1:-1, 1:-1, 2:] - p[1:-1, 1:-1, :-2]) / h)
+    u, v, w = set_bnd3d(1, u), set_bnd3d(2, v), set_bnd3d(3, w)
+    if with_residual:
+        return u, v, w, poisson_residual3d(p, div)
+    return u, v, w
+
+
+# ---------------------------------------------------------------------------
+# forcings
+
+
+def vorticity_confinement2d(u, v, cfg):
+    n = u.shape[0] - 2
+    h = 1.0 / n
+    curl = 0.5 * ((v[2:, 1:-1] - v[:-2, 1:-1])
+                  - (u[1:-1, 2:] - u[1:-1, :-2])) / h
+    mag = jnp.zeros_like(u).at[1:-1, 1:-1].set(jnp.abs(curl))
+    gx = 0.5 * (mag[2:, 1:-1] - mag[:-2, 1:-1]) / h
+    gy = 0.5 * (mag[1:-1, 2:] - mag[1:-1, :-2]) / h
+    norm = jnp.sqrt(gx * gx + gy * gy) + 1e-5
+    gx, gy = gx / norm, gy / norm
+    fu = cfg.vorticity_eps * h * gy * curl
+    fv = -cfg.vorticity_eps * h * gx * curl
+    u = u.at[1:-1, 1:-1].add(cfg.dt * fu)
+    v = v.at[1:-1, 1:-1].add(cfg.dt * fv)
+    return set_bnd2d(1, u), set_bnd2d(2, v)
+
+
+def vorticity_confinement3d(u, v, w, cfg):
+    n = u.shape[0] - 2
+    h = 1.0 / n
+
+    def d(q, axis, lo):
+        sl = [slice(1, -1)] * 3
+        hi_s, lo_s = list(sl), list(sl)
+        hi_s[axis] = slice(2, None)
+        lo_s[axis] = slice(0, -2)
+        return 0.5 * (q[tuple(hi_s)] - q[tuple(lo_s)]) / h
+
+    wx = d(w, 1, 0) - d(v, 2, 0)
+    wy = d(u, 2, 0) - d(w, 0, 0)
+    wz = d(v, 0, 0) - d(u, 1, 0)
+    mag_i = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    mag = jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1].set(mag_i)
+    gx, gy, gz = d(mag, 0, 0), d(mag, 1, 0), d(mag, 2, 0)
+    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
+    gx, gy, gz = gx / norm, gy / norm, gz / norm
+    eps_h = cfg.vorticity_eps * h
+    fu = eps_h * (gy * wz - gz * wy)
+    fv = eps_h * (gz * wx - gx * wz)
+    fw = eps_h * (gx * wy - gy * wx)
+    u = u.at[1:-1, 1:-1, 1:-1].add(cfg.dt * fu)
+    v = v.at[1:-1, 1:-1, 1:-1].add(cfg.dt * fv)
+    w = w.at[1:-1, 1:-1, 1:-1].add(cfg.dt * fw)
+    return set_bnd3d(1, u), set_bnd3d(2, v), set_bnd3d(3, w)
+
+
+def buoyancy3d(w, dens, temp, cfg):
+    """Plume forcing on the vertical (z) velocity:
+    f_z = -alpha * dens + beta * (temp - ambient)."""
+    f = (-cfg.buoyancy_alpha * dens[1:-1, 1:-1, 1:-1]
+         + cfg.buoyancy_beta * (temp[1:-1, 1:-1, 1:-1]
+                                - cfg.ambient_temp))
+    w = w.at[1:-1, 1:-1, 1:-1].add(cfg.dt * f)
+    return set_bnd3d(3, w)
+
+
+def buoyancy2d(v, dens, temp, cfg):
+    f = (-cfg.buoyancy_alpha * dens[1:-1, 1:-1]
+         + cfg.buoyancy_beta * (temp[1:-1, 1:-1] - cfg.ambient_temp))
+    v = v.at[1:-1, 1:-1].add(cfg.dt * f)
+    return set_bnd2d(2, v)
+
+
+# ---------------------------------------------------------------------------
+# full steps
+
+
+def step2d(state: GridState2D, cfg: StamConfig,
+           sources: Optional[dict] = None, with_residual: bool = False):
+    """One 2D smoke step: forces -> vel(diffuse, project, advect,
+    project) -> dens/temp(add, diffuse, advect)."""
+    u, v, dens, temp = state.u, state.v, state.dens, state.temp
+    if sources:
+        u = u + cfg.dt * sources.get("fu", 0.0)
+        v = v + cfg.dt * sources.get("fv", 0.0)
+        dens = dens + cfg.dt * sources.get("dens", 0.0)
+        temp = temp + cfg.dt * sources.get("temp", 0.0)
+    if cfg.buoyancy_alpha or cfg.buoyancy_beta:
+        v = buoyancy2d(v, dens, temp, cfg)
+    if cfg.vorticity_eps:
+        u, v = vorticity_confinement2d(u, v, cfg)
+    if cfg.visc:
+        u = diffuse2d(1, u, cfg, cfg.visc)
+        v = diffuse2d(2, v, cfg, cfg.visc)
+    u, v = project2d(u, v, cfg)
+    u0, v0 = u, v
+    u = advect2d(1, u0, u0, v0, cfg)
+    v = advect2d(2, v0, u0, v0, cfg)
+    if with_residual:
+        u, v, res = project2d(u, v, cfg, with_residual=True)
+    else:
+        u, v = project2d(u, v, cfg)
+    if cfg.diff:
+        dens = diffuse2d(0, dens, cfg, cfg.diff)
+    dens = advect2d(0, dens, u, v, cfg)
+    if cfg.temp_diff:
+        temp = diffuse2d(0, temp, cfg, cfg.temp_diff)
+    temp = advect2d(0, temp, u, v, cfg)
+    out = GridState2D(u=u, v=v, dens=dens, temp=temp)
+    return (out, res) if with_residual else out
+
+
+def step3d(state: GridState3D, cfg: StamConfig,
+           sources: Optional[dict] = None, with_residual: bool = False):
+    """One 3D step with set_bnd walls; configs 2-4 of BASELINE.json."""
+    u, v, w, dens, temp = state.u, state.v, state.w, state.dens, state.temp
+    if sources:
+        u = u + cfg.dt * sources.get("fu", 0.0)
+        v = v + cfg.dt * sources.get("fv", 0.0)
+        w = w + cfg.dt * sources.get("fw", 0.0)
+        dens = dens + cfg.dt * sources.get("dens", 0.0)
+        temp = temp + cfg.dt * sources.get("temp", 0.0)
+    if cfg.buoyancy_alpha or cfg.buoyancy_beta:
+        w = buoyancy3d(w, dens, temp, cfg)
+    if cfg.vorticity_eps:
+        u, v, w = vorticity_confinement3d(u, v, w, cfg)
+    if cfg.visc:
+        u = diffuse3d(1, u, cfg, cfg.visc)
+        v = diffuse3d(2, v, cfg, cfg.visc)
+        w = diffuse3d(3, w, cfg, cfg.visc)
+    u, v, w = project3d(u, v, w, cfg)
+    u0, v0, w0 = u, v, w
+    u = advect3d(1, u0, u0, v0, w0, cfg)
+    v = advect3d(2, v0, u0, v0, w0, cfg)
+    w = advect3d(3, w0, u0, v0, w0, cfg)
+    if with_residual:
+        u, v, w, res = project3d(u, v, w, cfg, with_residual=True)
+    else:
+        u, v, w = project3d(u, v, w, cfg)
+    if cfg.diff:
+        dens = diffuse3d(0, dens, cfg, cfg.diff)
+    dens = advect3d(0, dens, u, v, w, cfg)
+    if cfg.temp_diff:
+        temp = diffuse3d(0, temp, cfg, cfg.temp_diff)
+    temp = advect3d(0, temp, u, v, w, cfg)
+    out = GridState3D(u=u, v=v, w=w, dens=dens, temp=temp)
+    return (out, res) if with_residual else out
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run3d(state: GridState3D, cfg: StamConfig, n_steps: int):
+    def body(s, _):
+        s, res = step3d(s, cfg, with_residual=True)
+        return s, res
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run2d(state: GridState2D, cfg: StamConfig, n_steps: int):
+    def body(s, _):
+        s, res = step2d(s, cfg, with_residual=True)
+        return s, res
+
+    return jax.lax.scan(body, state, None, length=n_steps)
