@@ -31,7 +31,7 @@ thread-budget sum, FluidGPU.cu:174).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,24 @@ from tpufluids.state import ParticleState
 RUN_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
+class GridSpec(NamedTuple):
+    """Binning-grid extent — the full cube by default, or a local x-slab
+    (plus halo planes) under spatial domain decomposition (the sharded
+    analog of the reference's per-device cell range Ns[dev]+buffer,
+    solver-unidyn.cu:187-195)."""
+    g: int          # y/z extent (= cfg.grid_size)
+    x_planes: int   # number of x planes covered
+    x_offset: int   # global cx of local plane 0
+
+    @property
+    def num_cells(self) -> int:
+        return self.x_planes * self.g * self.g
+
+
+def full_grid(cfg: SPHConfig) -> GridSpec:
+    return GridSpec(g=cfg.grid_size, x_planes=cfg.grid_size, x_offset=0)
+
+
 def cell_coords(pos: jax.Array, cfg: SPHConfig):
     """Per-axis cell coordinates with C-style truncation toward zero,
     matching ``int((x - XMIN)/CELLSIZE)`` (FluidGPU.cu:419)."""
@@ -52,15 +70,18 @@ def cell_coords(pos: jax.Array, cfg: SPHConfig):
     return c[:, 0], c[:, 1], c[:, 2]
 
 
-def cell_id(pos: jax.Array, alive: jax.Array, cfg: SPHConfig):
+def cell_id(pos: jax.Array, alive: jax.Array, cfg: SPHConfig,
+            grid: Optional[GridSpec] = None):
     """Linear cell id; out-of-domain or dead particles get the sentinel
     ``num_cells`` so they sort to the end and never appear in a run."""
-    g = cfg.grid_size
+    grid = grid or full_grid(cfg)
+    g = grid.g
     cx, cy, cz = cell_coords(pos, cfg)
-    in_dom = ((cx >= 0) & (cx < g) & (cy >= 0) & (cy < g)
+    lx = cx - grid.x_offset
+    in_dom = ((lx >= 0) & (lx < grid.x_planes) & (cy >= 0) & (cy < g)
               & (cz >= 0) & (cz < g))
-    lin = cx * (g * g) + cy * g + cz
-    return jnp.where(in_dom & alive, lin, cfg.num_cells), in_dom
+    lin = lx * (g * g) + cy * g + cz
+    return jnp.where(in_dom & alive, lin, grid.num_cells), in_dom
 
 
 class BinTable(NamedTuple):
@@ -79,25 +100,29 @@ class BinTable(NamedTuple):
     overflow: jax.Array     # () total dropped candidate slots this step
 
 
-def sort_by_cell(state: ParticleState, cfg: SPHConfig):
+def sort_by_cell(state: ParticleState, cfg: SPHConfig,
+                 grid: Optional[GridSpec] = None):
     """Reorder the whole particle pool by cell id (the reference's
     thrust::sort_by_key over the AoS array, solver.cu:181) and build the
     run tables."""
-    cid, _ = cell_id(state.pos, state.alive, cfg)
+    cid, _ = cell_id(state.pos, state.alive, cfg, grid)
     order = jnp.argsort(cid, stable=True)
     state = jax.tree_util.tree_map(lambda a: a[order], state)
-    bt = build_bins(state, cfg, order=order)
+    bt = build_bins(state, cfg, order=order, grid=grid)
     return state, bt
 
 
-def build_bins(state: ParticleState, cfg: SPHConfig, order=None) -> BinTable:
+def build_bins(state: ParticleState, cfg: SPHConfig, order=None,
+               grid: Optional[GridSpec] = None) -> BinTable:
     """Build the BinTable for an already-cell-sorted state."""
-    g = cfg.grid_size
-    num_cells = cfg.num_cells
+    grid = grid or full_grid(cfg)
+    g = grid.g
+    num_cells = grid.num_cells
     k3 = 3 * cfg.max_per_cell
 
-    cid, in_dom = cell_id(state.pos, state.alive, cfg)
+    cid, in_dom = cell_id(state.pos, state.alive, cfg, grid)
     cx, cy, cz = cell_coords(state.pos, cfg)
+    cx = cx - grid.x_offset  # local plane index
     n = cid.shape[0]
     if order is None:
         order = jnp.arange(n, dtype=jnp.int32)
@@ -117,7 +142,8 @@ def build_bins(state: ParticleState, cfg: SPHConfig, order=None) -> BinTable:
     overflow = jnp.zeros((), jnp.int32)
     for dx, dy in RUN_OFFSETS:
         nx, ny = cx + dx, cy + dy
-        valid = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g) & (cid < num_cells)
+        valid = ((nx >= 0) & (nx < grid.x_planes) & (ny >= 0) & (ny < g)
+                 & (cid < num_cells))
         base = nx * (g * g) + ny * g
         lo_cell = jnp.clip(base + zlo, 0, num_cells)
         hi_cell = jnp.clip(base + zhi + 1, 0, num_cells + 1)

@@ -93,12 +93,17 @@ def _msum(x, mask, axis=1):
 
 def compute_forces(state: ParticleState, bt: BinTable,
                    cfg: SPHConfig, subbin_parity: bool = False,
-                   subbin_threshold: int = 6) -> ForceAccum:
+                   subbin_threshold: int = 6,
+                   drift_fix=None) -> ForceAccum:
     """Full pair + per-particle accumulation for one step.
 
     ``state`` must already be cell-sorted (see binning.sort_by_cell).
     ``subbin_parity`` enables the reference's two-level-binning stencil
     semantics for overpopulated cells (see binning.neighbor_candidates).
+    ``drift_fix``, if given, maps (solid_drift, fluid_drift) -> corrected
+    arrays between pass A and pass B — the spatial-decomposition hook
+    that replaces halo particles' locally-incomplete drift velocities
+    with the owner-computed values (tpufluids.shard.particles).
     """
     cand = neighbor_candidates(
         bt, cfg, subbin_threshold if subbin_parity else None)
@@ -217,6 +222,8 @@ def compute_forces(state: ParticleState, bt: BinTable,
                         - cfg.mixbrownian * sbrown, g3)
     fluid_drift = _msum(cfg.mixpressure * (f_pref * body_core + fslip)
                         - cfg.mixbrownian * fbrown, g3)
+    if drift_fix is not None:
+        solid_drift, fluid_drift = drift_fix(solid_drift, fluid_drift)
 
     # ---- pass B: mixture accel + phase transport (consumes pass A) -------
     sdv_j = solid_drift[idx]

@@ -24,6 +24,7 @@ configs and shares the framework substrate (config/state/io/shard).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Optional
 
@@ -45,6 +46,17 @@ class StamConfig:
     buoyancy_beta: float = 0.0   # temperature weight (pushes plume up)
     ambient_temp: float = 0.0
     temp_diff: float = 0.0
+    # advection backend: "gather" = classic unbounded semi-Lagrangian
+    # backtrace (XLA gather; slow on TPU); "stencil" = 27-tap shifted
+    # trilinear accumulation — bit-equivalent for backtraces within one
+    # cell (CFL <= 1) and ~20x faster on TPU, with longer backtraces
+    # clamped to one cell.
+    advect_mode: str = "gather"
+    # linear-solver backend for the 3D Jacobi/red-black sweeps:
+    # "xla" | "pallas" | "auto" (pallas on TPU, xla elsewhere).  The
+    # pallas kernel (grid/pallas_kernels.py) fuses multiple sweeps +
+    # set_bnd per HBM pass: ~3.3x (jacobi) / ~5x (red-black) at 256^3.
+    solver_backend: str = "auto"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -176,10 +188,31 @@ def diffuse2d(b, x, cfg, coeff, iters=None):
     return lin_solve2d(b, x, x, a, 1 + 4 * a, iters or cfg.jacobi_iters)
 
 
+def _use_pallas(cfg):
+    if cfg.solver_backend == "pallas":
+        return True
+    if cfg.solver_backend == "auto":
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
+    return False
+
+
+def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False):
+    if _use_pallas(cfg):
+        from tpufluids.grid.pallas_kernels import lin_solve3d_pallas
+        fuse = 2 if iters % 2 == 0 else 1
+        return lin_solve3d_pallas(b, x, x0, float(a), float(c), iters,
+                                  red_black=red_black, fuse=fuse)
+    return lin_solve3d(b, x, x0, a, c, iters, red_black=red_black)
+
+
 def diffuse3d(b, x, cfg, coeff, iters=None):
+    # diffusion always uses plain jacobi (matching the dense reference
+    # path; red_black only applies to the pressure projection)
     n = x.shape[0] - 2
     a = cfg.dt * coeff * n * n
-    return lin_solve3d(b, x, x, a, 1 + 6 * a, iters or cfg.jacobi_iters)
+    return _lin_solve3d(b, x, x, a, 1 + 6 * a, iters or cfg.jacobi_iters,
+                        cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +263,74 @@ def advect3d(b, q, u, v, w, cfg):
            + s1 * (t0 * (r0 * g(1, 0, 0) + r1 * g(1, 0, 1))
                    + t1 * (r0 * g(1, 1, 0) + r1 * g(1, 1, 1))))
     return set_bnd3d(b, q.at[1:-1, 1:-1, 1:-1].set(out))
+
+
+def _advect_stencil(b, q, disp, set_bnd, ndim):
+    """27-tap (9-tap in 2D) stencil trilinear semi-Lagrangian advection.
+
+    ``disp`` is the per-axis backtrace displacement in cells, clamped to
+    [-1, 1].  The source value at offset o is the multilinear interp
+    sum over shifts d in {-1,0,1}^ndim with hat weights
+    max(0, 1 - |o_a - d_a|) per axis — identical to the gather version
+    whenever the true backtrace stays within one cell.  All taps are
+    static shifted slices, which XLA/Mosaic fuses into one fast pass
+    (no gather).
+    """
+    n = q.shape[0] - 2
+    interior = tuple([slice(1, -1)] * ndim)
+    # per-cell clamp so the source never leaves [0.5, n+0.5] (matches
+    # the gather version's global clip at the walls)
+    idx = [jax.lax.broadcasted_iota(jnp.float32, (n,) * ndim, a) + 1.0
+           for a in range(ndim)]
+    offs = [jnp.clip(jnp.clip(disp[a], -1.0, 1.0),
+                     0.5 - idx[a], n + 0.5 - idx[a])
+            for a in range(ndim)]
+
+    def shifted(d):
+        sl = tuple(slice(1 + da, 1 + da + n) for da in d)
+        return q[sl]
+
+    out = jnp.zeros((n,) * ndim, q.dtype)
+    for d in _SHIFTS[ndim]:
+        wgt = 1.0
+        for a in range(ndim):
+            wgt = wgt * jnp.maximum(0.0, 1.0 - jnp.abs(offs[a] - d[a]))
+        out = out + wgt * shifted(d)
+    return set_bnd(b, q.at[interior].set(out))
+
+
+_SHIFTS = {
+    2: [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+    3: [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)],
+}
+
+
+def advect2d_stencil(b, q, u, v, cfg):
+    n = q.shape[0] - 2
+    dt0 = cfg.dt * n
+    disp = (-dt0 * u[1:-1, 1:-1], -dt0 * v[1:-1, 1:-1])
+    return _advect_stencil(b, q, disp, set_bnd2d, 2)
+
+
+def advect3d_stencil(b, q, u, v, w, cfg):
+    n = q.shape[0] - 2
+    dt0 = cfg.dt * n
+    disp = (-dt0 * u[1:-1, 1:-1, 1:-1], -dt0 * v[1:-1, 1:-1, 1:-1],
+            -dt0 * w[1:-1, 1:-1, 1:-1])
+    return _advect_stencil(b, q, disp, set_bnd3d, 3)
+
+
+def _advect2(b, q, u, v, cfg):
+    if cfg.advect_mode == "stencil":
+        return advect2d_stencil(b, q, u, v, cfg)
+    return advect2d(b, q, u, v, cfg)
+
+
+def _advect3(b, q, u, v, w, cfg):
+    if cfg.advect_mode == "stencil":
+        return advect3d_stencil(b, q, u, v, w, cfg)
+    return advect3d(b, q, u, v, w, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -288,8 +389,8 @@ def project3d(u, v, w, cfg, with_residual: bool = False):
     h = 1.0 / n
     div = jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1].set(divergence3d(u, v, w))
     div = set_bnd3d(0, div)
-    p = lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0, cfg.jacobi_iters,
-                    red_black=cfg.red_black)
+    p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
+                     cfg.jacobi_iters, cfg, red_black=cfg.red_black)
     u = u.at[1:-1, 1:-1, 1:-1].add(
         -0.5 * (p[2:, 1:-1, 1:-1] - p[:-2, 1:-1, 1:-1]) / h)
     v = v.at[1:-1, 1:-1, 1:-1].add(
@@ -392,18 +493,18 @@ def step2d(state: GridState2D, cfg: StamConfig,
         v = diffuse2d(2, v, cfg, cfg.visc)
     u, v = project2d(u, v, cfg)
     u0, v0 = u, v
-    u = advect2d(1, u0, u0, v0, cfg)
-    v = advect2d(2, v0, u0, v0, cfg)
+    u = _advect2(1, u0, u0, v0, cfg)
+    v = _advect2(2, v0, u0, v0, cfg)
     if with_residual:
         u, v, res = project2d(u, v, cfg, with_residual=True)
     else:
         u, v = project2d(u, v, cfg)
     if cfg.diff:
         dens = diffuse2d(0, dens, cfg, cfg.diff)
-    dens = advect2d(0, dens, u, v, cfg)
+    dens = _advect2(0, dens, u, v, cfg)
     if cfg.temp_diff:
         temp = diffuse2d(0, temp, cfg, cfg.temp_diff)
-    temp = advect2d(0, temp, u, v, cfg)
+    temp = _advect2(0, temp, u, v, cfg)
     out = GridState2D(u=u, v=v, dens=dens, temp=temp)
     return (out, res) if with_residual else out
 
@@ -428,19 +529,19 @@ def step3d(state: GridState3D, cfg: StamConfig,
         w = diffuse3d(3, w, cfg, cfg.visc)
     u, v, w = project3d(u, v, w, cfg)
     u0, v0, w0 = u, v, w
-    u = advect3d(1, u0, u0, v0, w0, cfg)
-    v = advect3d(2, v0, u0, v0, w0, cfg)
-    w = advect3d(3, w0, u0, v0, w0, cfg)
+    u = _advect3(1, u0, u0, v0, w0, cfg)
+    v = _advect3(2, v0, u0, v0, w0, cfg)
+    w = _advect3(3, w0, u0, v0, w0, cfg)
     if with_residual:
         u, v, w, res = project3d(u, v, w, cfg, with_residual=True)
     else:
         u, v, w = project3d(u, v, w, cfg)
     if cfg.diff:
         dens = diffuse3d(0, dens, cfg, cfg.diff)
-    dens = advect3d(0, dens, u, v, w, cfg)
+    dens = _advect3(0, dens, u, v, w, cfg)
     if cfg.temp_diff:
         temp = diffuse3d(0, temp, cfg, cfg.temp_diff)
-    temp = advect3d(0, temp, u, v, w, cfg)
+    temp = _advect3(0, temp, u, v, w, cfg)
     out = GridState3D(u=u, v=v, w=w, dens=dens, temp=temp)
     return (out, res) if with_residual else out
 
@@ -452,6 +553,35 @@ def run3d(state: GridState3D, cfg: StamConfig, n_steps: int):
         return s, res
 
     return jax.lax.scan(body, state, None, length=n_steps)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_step3d(cfg: StamConfig, with_residual: bool = False):
+    return jax.jit(lambda s: step3d(s, cfg, with_residual=with_residual))
+
+
+def run3d_python(state: GridState3D, cfg: StamConfig, n_steps: int):
+    """Python-driven step loop.
+
+    Functionally identical to run3d, but dispatches one jitted step at a
+    time instead of lax.scan.  On runtimes where custom calls inside
+    scan pay a per-call host round trip (e.g. the axon TPU tunnel, ~26ms
+    per pallas_call), this is the fast path.  Steps chain asynchronously
+    (no per-step host sync); the Poisson residual is evaluated on the
+    final step only (per-step scalar outputs would serialize the
+    dispatch pipeline).  Returns (state, residual[-1:] array).
+    """
+    step = _jitted_step3d(cfg)
+    for i in range(max(n_steps - 1, 0)):
+        state = step(state)
+        # bound the in-flight dispatch queue: without buffer donation
+        # each queued step holds 5 live field copies, so an unbounded
+        # async queue exhausts HBM.  A tiny scalar readback is the
+        # fence (block_until_ready is unreliable on the axon runtime).
+        if (i & 7) == 7:
+            float(state.u[1, 1, 1])
+    state, res = _jitted_step3d(cfg, True)(state)
+    return state, jnp.reshape(res, (1,))
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))

@@ -1,0 +1,329 @@
+"""Sharded SPH: spatial domain decomposition over a device mesh.
+
+TPU-native rebuild of the reference's multi-GPU path (its only
+multi-device parallelism): a 1-D split of the cell grid along x with a
+one-cell-plane halo (``buffer = GRIDSIZE^2``, solver-unidyn.cu:187-195),
+per-device particle ownership, per-step halo copies and migration of
+particles crossing the cut (``find_idx`` + host-staged cudaMemcpy +
+``mem_shift`` compaction, solver-unidyn.cu:396-470).
+
+Here each device owns a fixed-capacity particle pool for its x-slab of
+cells.  Per step, inside ``shard_map``:
+
+1. edge particles (in the slab's first/last owned x-plane) are packed
+   into fixed-capacity buffers and exchanged with neighbors via
+   ``jax.lax.ppermute`` (ICI) — the halo copies;
+2. the local pool + halo particles are binned on the local slab grid
+   (binning.GridSpec) and forces are computed by the SAME
+   ``compute_forces`` as single-device.  For the two-phase variant,
+   drift velocities of halo particles are re-exchanged between pass A
+   and pass B (the owner's values are complete; locally-computed ones
+   are not) via the ``drift_fix`` hook;
+3. owned particles update; halo rows are discarded;
+4. migration: particles whose new cell crossed the cut are packed,
+   exchanged, inserted into free slots on the receiver and killed on
+   the sender (replacing find_idx/mem_shift/memcpy with static-shape
+   buffers — overflow is counted, never silent).
+
+Physics matches the single-device step exactly (stencil reach is one
+cell, so a one-plane halo is sufficient); tests assert pid-matched
+agreement to float32 tolerance on 1/2/4/8 devices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpufluids import adapt
+from tpufluids.binning import GridSpec, cell_coords, sort_by_cell
+from tpufluids.config import SPHConfig
+from tpufluids.forces import compute_forces
+from tpufluids.integrate import update
+from tpufluids.state import ParticleState
+
+AXIS = "x"
+
+# flat-packed field layout for exchange buffers: name -> (width, dtype)
+_FIELDS = [
+    ("pos", 3), ("vel", 3), ("acc", 3), ("mass", 1), ("dens", 1),
+    ("press", 1), ("delpress", 3), ("diffusion", 3), ("solid", 1),
+    ("fluid", 1), ("stress", 9), ("boundary", 1), ("alive", 1),
+    ("split", 1), ("pid", 1),
+]
+_WIDTH = sum(w for _, w in _FIELDS)
+
+
+def _pack_rows(state: ParticleState, mask, cap: int):
+    """Deterministically compact masked rows into a (cap, WIDTH) buffer.
+    Returns (buffer, valid, src_idx, overflow)."""
+    n = state.capacity
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    # src_idx[r] = index of the r-th masked row
+    src = jnp.full((n,), n, jnp.int32).at[
+        jnp.where(mask, rank, n)].set(jnp.arange(n, dtype=jnp.int32),
+                                      mode="drop")
+    total = jnp.sum(mask.astype(jnp.int32))
+    src_idx = src[:cap] if cap <= n else jnp.pad(src, (0, cap - n),
+                                                 constant_values=n)
+    valid = jnp.arange(cap) < total
+    gsrc = jnp.clip(src_idx, 0, n - 1)
+    cols = []
+    for name, w in _FIELDS:
+        a = getattr(state, name)
+        a = a.astype(jnp.float32).reshape(n, -1)
+        cols.append(a[gsrc])
+    buf = jnp.concatenate(cols, axis=1)
+    buf = jnp.where(valid[:, None], buf, 0.0)
+    overflow = jnp.maximum(total - cap, 0)
+    return buf, valid, gsrc, overflow
+
+
+def _unpack_rows(buf, valid):
+    """Inverse of _pack_rows: (cap, WIDTH) -> ParticleState of size cap."""
+    cap = buf.shape[0]
+    out = {}
+    off = 0
+    for name, w in _FIELDS:
+        col = buf[:, off:off + w]
+        off += w
+        if name == "pos" or name in ("vel", "acc", "delpress", "diffusion"):
+            out[name] = col
+        elif name == "stress":
+            out[name] = col.reshape(cap, 3, 3)
+        elif name in ("boundary", "split"):
+            out[name] = col[:, 0] > 0.5
+        elif name == "alive":
+            out[name] = (col[:, 0] > 0.5) & valid
+        elif name == "pid":
+            out[name] = col[:, 0].astype(jnp.int32)
+        else:
+            out[name] = col[:, 0]
+    return ParticleState(**out)
+
+
+def _shift(buf, valid, direction: int, n_dev: int):
+    """ppermute a buffer one step along the ring; wrap-around rows are
+    invalidated (the domain is not periodic)."""
+    idx = jax.lax.axis_index(AXIS)
+    if n_dev == 1:
+        return buf, jnp.zeros_like(valid)
+    perm = [(i, (i + direction) % n_dev) for i in range(n_dev)]
+    buf = jax.lax.ppermute(buf, AXIS, perm)
+    valid = jax.lax.ppermute(valid, AXIS, perm)
+    if direction == 1:   # received from the left neighbor
+        valid = valid & (idx > 0)
+    else:                # received from the right neighbor
+        valid = valid & (idx < n_dev - 1)
+    return buf, valid
+
+
+class ShardedMetrics(NamedTuple):
+    n_alive: jax.Array
+    halo_overflow: jax.Array
+    migrate_overflow: jax.Array
+    bin_overflow: jax.Array
+    max_speed: jax.Array
+
+
+def make_sharded_step(mesh: Mesh, cfg: SPHConfig, halo_capacity: int = 512,
+                      migrate_capacity: int = 256, n_steps: int = 1,
+                      subbin_parity: bool = False):
+    """Build a jitted sharded SPH step (scan of ``n_steps``).
+
+    Input/output: a ParticleState whose arrays have leading dim
+    n_dev * capacity_per_device, sharded along that dim.  Use
+    ``distribute`` to build one from a dense state.
+    """
+    n_dev = mesh.devices.size
+    g = cfg.grid_size
+    if g % n_dev:
+        raise ValueError(f"grid_size={g} must divide over {n_dev} devices")
+    gpd = g // n_dev
+    H, M = halo_capacity, migrate_capacity
+
+    def one_step(local: ParticleState):
+        idx = jax.lax.axis_index(AXIS)
+        lo = idx * gpd
+        hi = lo + gpd
+        cx, _, _ = cell_coords(local.pos, cfg)
+
+        # ---- halo exchange (one owned edge plane each way) -------------
+        mask_r = local.alive & (cx == hi - 1)
+        mask_l = local.alive & (cx == lo)
+        buf_r, val_r, src_r, ovf_r = _pack_rows(local, mask_r, H)
+        buf_l, val_l, src_l, ovf_l = _pack_rows(local, mask_l, H)
+        halo_l, hval_l = _shift(buf_r, val_r, +1, n_dev)  # from left nbr
+        halo_r, hval_r = _shift(buf_l, val_l, -1, n_dev)  # from right nbr
+        halo = _unpack_rows(jnp.concatenate([halo_l, halo_r], axis=0),
+                            jnp.concatenate([hval_l, hval_r], axis=0))
+
+        owned_flag = jnp.concatenate(
+            [jnp.ones(local.capacity, bool), jnp.zeros(2 * H, bool)])
+        comb = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), local, halo)
+
+        grid = GridSpec(g=g, x_planes=gpd + 2, x_offset=lo - 1)
+        comb, bt = sort_by_cell(comb, cfg, grid)
+        owned_sorted = owned_flag[bt.order]
+
+        # ---- drift-velocity re-exchange between pass A and pass B ------
+        def drift_fix(sdv, fdv):
+            # scatter sorted-order drift back to pre-sort row ids
+            nrows = comb.capacity
+            sdv_orig = jnp.zeros_like(sdv).at[bt.order].set(sdv)
+            fdv_orig = jnp.zeros_like(fdv).at[bt.order].set(fdv)
+            # owner-complete drift of our edge particles, packed in the
+            # same order as the halo buffers
+            pack_r = jnp.concatenate(
+                [sdv_orig[src_r], fdv_orig[src_r]], axis=1)
+            pack_l = jnp.concatenate(
+                [sdv_orig[src_l], fdv_orig[src_l]], axis=1)
+            recv_l, rval_l = _shift(pack_r, val_r, +1, n_dev)
+            recv_r, rval_r = _shift(pack_l, val_l, -1, n_dev)
+            recv = jnp.concatenate([recv_l, recv_r], axis=0)
+            rval = jnp.concatenate([rval_l, rval_r], axis=0)
+            # halo rows live at pre-sort ids C..C+2H; overwrite their drift
+            hrows = jnp.arange(2 * H, dtype=jnp.int32) + local.capacity
+            sdv_orig = sdv_orig.at[hrows].set(
+                jnp.where(rval[:, None], recv[:, :3], sdv_orig[hrows]))
+            fdv_orig = fdv_orig.at[hrows].set(
+                jnp.where(rval[:, None], recv[:, 3:], fdv_orig[hrows]))
+            return sdv_orig[bt.order], fdv_orig[bt.order]
+
+        acc = compute_forces(comb, bt, cfg, subbin_parity=subbin_parity,
+                             drift_fix=drift_fix
+                             if cfg.variant != "base" else None)
+        comb = update(comb, acc, cfg)
+
+        # ---- drop halo rows: stable-sort owned rows to the front --------
+        order2 = jnp.argsort(~owned_sorted, stable=True)
+        local = jax.tree_util.tree_map(
+            lambda a: a[order2][: local.capacity], comb)
+
+        # ---- migration across the cut ----------------------------------
+        cx_new, _, _ = cell_coords(local.pos, cfg)
+        go_r = local.alive & (cx_new >= hi) & (cx_new < g)
+        go_l = local.alive & (cx_new < lo) & (cx_new >= 0)
+        mbuf_r, mval_r, _, movf_r = _pack_rows(local, go_r, M)
+        mbuf_l, mval_l, _, movf_l = _pack_rows(local, go_l, M)
+        in_l, ival_l = _shift(mbuf_r, mval_r, +1, n_dev)
+        in_r, ival_r = _shift(mbuf_l, mval_l, -1, n_dev)
+        local = local.replace(alive=local.alive & ~(go_r | go_l))
+        incoming = _unpack_rows(jnp.concatenate([in_l, in_r], axis=0),
+                                jnp.concatenate([ival_l, ival_r], axis=0))
+        local = _insert(local, incoming)
+
+        if cfg.variant != "base" and cfg.split_reinjection:
+            local = adapt.apply_splits(local, cfg)
+
+        fluid_alive = local.alive & (~local.boundary)
+        metrics = ShardedMetrics(
+            n_alive=jax.lax.psum(jnp.sum(local.alive.astype(jnp.int32)),
+                                 AXIS),
+            halo_overflow=jax.lax.psum(ovf_r + ovf_l, AXIS),
+            migrate_overflow=jax.lax.psum(movf_r + movf_l, AXIS),
+            bin_overflow=jax.lax.psum(bt.overflow, AXIS),
+            max_speed=jax.lax.pmax(jnp.max(jnp.where(
+                fluid_alive, jnp.linalg.norm(local.vel, axis=-1), 0.0)),
+                AXIS),
+        )
+        return local, metrics
+
+    spec_tree = jax.tree_util.tree_map(lambda _: P(AXIS), _state_template())
+    mspec = jax.tree_util.tree_map(lambda _: P(),
+                                   ShardedMetrics(*(0,) * 5))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec_tree,),
+             out_specs=(spec_tree, mspec))
+    def run_local(state):
+        def body(s, _):
+            return one_step(s)
+
+        state, metrics = jax.lax.scan(body, state, None, length=n_steps)
+        return state, jax.tree_util.tree_map(lambda a: a[-1], metrics)
+
+    return jax.jit(run_local)
+
+
+def _state_template():
+    z = np.zeros((1,), np.float32)
+    return ParticleState(pos=z, vel=z, acc=z, mass=z, dens=z, press=z,
+                         delpress=z, diffusion=z, solid=z, fluid=z,
+                         stress=z, boundary=z, alive=z, split=z, pid=z)
+
+
+def _insert(state: ParticleState, incoming: ParticleState) -> ParticleState:
+    """Insert incoming alive rows into free slots (deterministic rank
+    matching, like adapt.apply_splits)."""
+    n = state.capacity
+    m = incoming.capacity
+    free = ~state.alive
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = jnp.full((n,), n, jnp.int32).at[
+        jnp.where(free, free_rank, n)].set(jnp.arange(n, dtype=jnp.int32),
+                                           mode="drop")
+    inc = incoming.alive
+    inc_rank = jnp.cumsum(inc.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free.astype(jnp.int32))
+    served = inc & (inc_rank < n_free)
+    dst = jnp.where(served, slot_of_rank[jnp.clip(inc_rank, 0, n - 1)], n)
+
+    out = {}
+    for name, _ in _FIELDS:
+        a = getattr(state, name)
+        b = getattr(incoming, name)
+        # only serve rows that fit; unserved rows are dropped (counted
+        # as migrate overflow upstream via capacity sizing)
+        bb = jnp.where(served.reshape((m,) + (1,) * (b.ndim - 1)),
+                       b, jnp.zeros_like(b))
+        out[name] = a.at[dst].set(bb, mode="drop")
+    out["alive"] = state.alive.at[dst].set(served, mode="drop")
+    return ParticleState(**out)
+
+
+# ---------------------------------------------------------------------------
+# host-side distribution / collection
+
+
+def distribute(state: ParticleState, mesh: Mesh, cfg: SPHConfig,
+               capacity_per_device: int) -> ParticleState:
+    """Split a dense state into per-device pools by owned x-plane and
+    shard over the mesh (the analog of the per-device particle erase at
+    solver-unidyn.cu:198-210)."""
+    n_dev = mesh.devices.size
+    gpd = cfg.grid_size // n_dev
+    cx = np.trunc((np.asarray(state.pos)[:, 0] - cfg.xmin)
+                  / cfg.cell_size).astype(np.int64)
+    alive = np.asarray(state.alive)
+    owner = np.clip(cx // gpd, 0, n_dev - 1)
+    pools = []
+    for d in range(n_dev):
+        sel = np.where(alive & (owner == d))[0]
+        if sel.size > capacity_per_device:
+            raise ValueError(
+                f"device {d} needs {sel.size} slots > {capacity_per_device}")
+        pool = {}
+        for name, _ in _FIELDS:
+            a = np.asarray(getattr(state, name))
+            pad_shape = (capacity_per_device - sel.size,) + a.shape[1:]
+            fill = np.zeros(pad_shape, a.dtype)
+            pool[name] = np.concatenate([a[sel], fill], axis=0)
+        pool["alive"][sel.size:] = False
+        pool["pid"][sel.size:] = -1
+        pools.append(pool)
+    merged = {k: np.concatenate([p[k] for p in pools], axis=0)
+              for k in pools[0]}
+    sh = NamedSharding(mesh, P(AXIS))
+    return ParticleState(**{k: jax.device_put(v, sh)
+                            for k, v in merged.items()})
+
+
+def collect(state: ParticleState) -> ParticleState:
+    """Bring a sharded state back to host (dense, dead slots included)."""
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), state)
