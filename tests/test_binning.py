@@ -108,3 +108,22 @@ def test_sort_preserves_fields():
     # sorted cell ids are nondecreasing
     cid = np.asarray(bt.cid)
     assert np.all(np.diff(cid) >= 0)
+
+
+def test_morton_roundtrip():
+    """Z-order codec round-trip (the reference's morton/demorton,
+    FluidGPU.cu:63-102 — inactive there, provided for parity)."""
+    rng = np.random.default_rng(8)
+    x = rng.integers(0, 1024, 200)
+    y = rng.integers(0, 1024, 200)
+    z = rng.integers(0, 1024, 200)
+    code = binning.morton_encode(x, y, z)
+    np.testing.assert_array_equal(np.asarray(binning.morton_decode(code, 0)), x)
+    np.testing.assert_array_equal(np.asarray(binning.morton_decode(code, 1)), y)
+    np.testing.assert_array_equal(np.asarray(binning.morton_decode(code, 2)), z)
+    # spot-check against the reference bit pattern: morton(1,0,0)=1,
+    # morton(0,1,0)=2, morton(0,0,1)=4, morton(1,1,1)=7
+    assert int(binning.morton_encode(1, 0, 0)) == 1
+    assert int(binning.morton_encode(0, 1, 0)) == 2
+    assert int(binning.morton_encode(0, 0, 1)) == 4
+    assert int(binning.morton_encode(3, 3, 3)) == 63

@@ -206,6 +206,38 @@ def neighbor_candidates(bt: BinTable, cfg: SPHConfig,
     return Candidates(idx=idx, mask=mask)
 
 
+def morton_encode(x, y, z):
+    """3D -> 1D Z-order interleave (reference ``morton``,
+    FluidGPU.cu:63-85; present on host and device but commented out of
+    the active path in favor of row-major ids — provided for parity).
+    Supports coordinates up to 10 bits per axis."""
+    def m(c):
+        return jnp.uint32(c)
+
+    def spread(v):
+        v = jnp.asarray(v, jnp.uint32)
+        v = (v | (v << 16)) & m(0x030000FF)
+        v = (v | (v << 8)) & m(0x0300F00F)
+        v = (v | (v << 4)) & m(0x030C30C3)
+        v = (v | (v << 2)) & m(0x09249249)
+        return v
+
+    return (spread(x) | (spread(y) << 1) | (spread(z) << 2)).astype(
+        jnp.int32)
+
+
+def morton_decode(code, axis: int):
+    """Inverse of morton_encode for one axis (reference ``demorton``,
+    FluidGPU.cu:87-102); ``axis`` = 0 for x, 1 for y, 2 for z."""
+    v = jnp.asarray(code, jnp.uint32) >> axis
+    v = v & jnp.uint32(0x09249249)
+    v = (v | (v >> 2)) & jnp.uint32(0x030C30C3)
+    v = (v | (v >> 4)) & jnp.uint32(0x0300F00F)
+    v = (v | (v >> 8)) & jnp.uint32(0xFF0000FF)
+    v = (v | (v >> 16)) & jnp.uint32(0x000003FF)
+    return v.astype(jnp.int32)
+
+
 def octant(pos: jax.Array, cfg: SPHConfig) -> jax.Array:
     """Sub-bin octant id (FluidGPU-unidyn.cu:182-184).  bit0 = x in the
     upper half of its cell, bit1 = y upper half, bit2 = z *lower* half

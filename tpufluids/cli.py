@@ -146,15 +146,20 @@ def run_grid(args):
         src[n // 2 - 4:n // 2 + 4, 4:8] = 5.0
         fv = np.zeros_like(src)
         fv[n // 2 - 4:n // 2 + 4, 4:8] = 2.0
-        frame = 0
-        for step in range(args.steps):
-            s = stam.step2d(s, cfg, sources={"dens": src, "fv": fv})
-            if args.out and step % args.snapshot_every == 0:
-                vtk.write_regular_mesh(
-                    f"{args.out}/smoke_{frame}", int(args.binary),
-                    [n + 2, n + 2, 1], 1, [1], [1], ["dens"],
-                    [np.asarray(s.dens).reshape(-1)])
-                frame += 1
+        frame = [0]
+
+        def snap(step, host_state):
+            vtk.write_regular_mesh(
+                f"{args.out}/smoke_{frame[0]}", int(args.binary),
+                [n + 2, n + 2, 1], 1, [1], [1], ["dens"],
+                [np.asarray(host_state.dens).reshape(-1)])
+            frame[0] += 1
+
+        sources = {"dens": jax.numpy.asarray(src), "fv": jax.numpy.asarray(fv)}
+        s = stam.run2d_python(
+            s, cfg, args.steps, sources=sources,
+            snapshot_every=args.snapshot_every if args.out else 0,
+            snapshot_fn=snap if args.out else None)
         res = float("nan")
         state_leaf = s.dens
     elif args.scene == "grid3d_sharded":
@@ -173,7 +178,7 @@ def run_grid(args):
         s = s.replace(
             dens=s.dens.at[3 * k:5 * k, 3 * k:5 * k, 1:k + 1].set(1.0),
             temp=s.temp.at[3 * k:5 * k, 3 * k:5 * k, 1:k + 1].set(3.0))
-        s, residuals = stam.run3d(s, cfg, args.steps)
+        s, residuals = stam.run3d_python(s, cfg, args.steps)
         res = float(residuals[-1])
         state_leaf = s.dens
         if args.out:

@@ -63,28 +63,54 @@ class PairGeometry(NamedTuple):
     vab: jax.Array    # (N, M, 3) v_i - v_j
     w: jax.Array      # (N, M) cubic kernel value
     dk: jax.Array     # (N, M, 3) spiky kernel gradient (points j -> i)
+    dens_j: jax.Array   # (N, M) gathered neighbor fields
+    press_j: jax.Array
+    mass_j: jax.Array
+    bnd_j: jax.Array    # (N, M) bool
+    solid_j: jax.Array
+    fluid_j: jax.Array
 
 
 def pair_geometry(state: ParticleState, cand: Candidates,
                   cfg: SPHConfig) -> PairGeometry:
+    """Gather neighbor fields and compute pair geometry.
+
+    All per-neighbor fields are packed into ONE (N, F) matrix and
+    gathered with a single row-gather: TPU gather cost is per-index and
+    independent of row width, so one 12-wide gather is ~7x cheaper than
+    separate per-field gathers (measured on v5e).
+    """
     n = state.pos.shape[0]
     idx = cand.idx.reshape(n, -1)
     mask = cand.mask.reshape(n, -1)
     h = jnp.float32(cfg.cutoff)
 
-    pos_j = state.pos[idx]
+    packed = jnp.concatenate([
+        state.pos, state.vel,
+        state.dens[:, None], state.press[:, None], state.mass[:, None],
+        state.boundary.astype(jnp.float32)[:, None],
+        state.solid[:, None], state.fluid[:, None],
+    ], axis=1)                                     # (N, 12)
+    pj = packed[idx]                               # one gather: (N, M, 12)
+    pos_j, vel_j = pj[..., 0:3], pj[..., 3:6]
+    dens_j, press_j, mass_j = pj[..., 6], pj[..., 7], pj[..., 8]
+    bnd_j = pj[..., 9] > 0.5
+    solid_j, fluid_j = pj[..., 10], pj[..., 11]
+
     rab = state.pos[:, None, :] - pos_j
     ds2 = jnp.sum(rab * rab, axis=-1)
     ds = jnp.sqrt(ds2)
     # ds > 0 excludes self and exact-coincident pairs (FluidGPU.cu:236)
     mask = mask & (ds > 0) & (ds <= 2 * h)
     ds_safe = jnp.where(ds > 0, ds, 1.0)
-    vab = state.vel[:, None, :] - state.vel[idx]
+    vab = state.vel[:, None, :] - vel_j
     w = jnp.where(mask, w_cubic(ds, h), 0.0)
     dk = (grad_w_spiky(ds, h) / ds_safe)[:, :, None] * rab
     dk = jnp.where(mask[:, :, None], dk, 0.0)
     return PairGeometry(idx=idx, mask=mask, ds=ds_safe, rab=rab, vab=vab,
-                        w=w, dk=dk)
+                        w=w, dk=dk, dens_j=dens_j, press_j=press_j,
+                        mass_j=mass_j, bnd_j=bnd_j, solid_j=solid_j,
+                        fluid_j=fluid_j)
 
 
 def _msum(x, mask, axis=1):
@@ -113,11 +139,11 @@ def compute_forces(state: ParticleState, bt: BinTable,
     h = jnp.float32(cfg.cutoff)
 
     dens, press = state.dens, state.press
-    dens_j, press_j = dens[idx], press[idx]
+    dens_j, press_j = g.dens_j, g.press_j
     bnd = state.boundary
-    bnd_j = bnd[idx]
+    bnd_j = g.bnd_j
     nb_bnd = (~bnd)[:, None] & bnd_j           # i fluid, j boundary
-    mass_j = state.mass[idx]
+    mass_j = g.mass_j
 
     d = jnp.sum(g.vab * g.rab, axis=-1)
     d2 = g.ds * g.ds
@@ -164,8 +190,8 @@ def compute_forces(state: ParticleState, bt: BinTable,
 
     # ---------------- unidyn extras (FluidGPU-unidyn.cu:314-446) ----------
     solid, fluid = state.solid, state.fluid
-    si, sj = solid[:, None], solid[idx]
-    fi, fj = fluid[:, None], fluid[idx]
+    si, sj = solid[:, None], g.solid_j
+    fi, fj = fluid[:, None], g.fluid_j
     both_fluid = (~bnd)[:, None] & (~bnd_j)
 
     diffusion = _msum((mw / dens_j)[:, :, None] * g.dk,
@@ -226,8 +252,9 @@ def compute_forces(state: ParticleState, bt: BinTable,
         solid_drift, fluid_drift = drift_fix(solid_drift, fluid_drift)
 
     # ---- pass B: mixture accel + phase transport (consumes pass A) -------
-    sdv_j = solid_drift[idx]
-    fdv_j = fluid_drift[idx]
+    drift_j = jnp.concatenate([solid_drift, fluid_drift], axis=1)[idx]
+    sdv_j = drift_j[..., 0:3]
+    fdv_j = drift_j[..., 3:6]
     ds_i = jnp.einsum("ia,ija->ij", solid_drift, g.dk)
     ds_j = jnp.sum(sdv_j * g.dk, axis=-1)
     df_i = jnp.einsum("ia,ija->ij", fluid_drift, g.dk)
@@ -289,17 +316,22 @@ def compute_forces(state: ParticleState, bt: BinTable,
                      & ((diff2 > cfg.split_diffusion_min)
                         | (dens < cfg.split_dens_max)))
     # merge: nearest eligible neighbor within merge_dist (ships disabled
-    # via the -10.0 sentinel, FluidGPU-unidyn.cu:261)
-    prev_diff2 = jnp.sum(state.diffusion ** 2, axis=-1)
-    eligible_i = ((state.mass > 0) & (state.mass < 2) & (~bnd)
-                  & (prev_diff2 < cfg.merge_diffusion_max) & state.alive)
-    elig_pair = (mask & (g.ds <= cfg.merge_dist) & eligible_i[:, None]
-                 & eligible_i[idx])
-    dist_masked = jnp.where(elig_pair, g.ds, jnp.inf)
-    best = jnp.argmin(dist_masked, axis=1)
-    any_elig = jnp.any(elig_pair, axis=1)
-    merge_partner = jnp.where(
-        any_elig, jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0], -1)
+    # via the -10.0 sentinel, FluidGPU-unidyn.cu:261; the whole branch
+    # is elided unless enabled)
+    if cfg.merge_dist > 0:
+        prev_diff2 = jnp.sum(state.diffusion ** 2, axis=-1)
+        eligible_i = ((state.mass > 0) & (state.mass < 2) & (~bnd)
+                      & (prev_diff2 < cfg.merge_diffusion_max) & state.alive)
+        elig_pair = (mask & (g.ds <= cfg.merge_dist) & eligible_i[:, None]
+                     & eligible_i[idx])
+        dist_masked = jnp.where(elig_pair, g.ds, jnp.inf)
+        best = jnp.argmin(dist_masked, axis=1)
+        any_elig = jnp.any(elig_pair, axis=1)
+        merge_partner = jnp.where(
+            any_elig,
+            jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0], -1)
+    else:
+        merge_partner = jnp.full(n, -1, jnp.int32)
 
     return acc._replace(
         diffusion=diffusion, vel_grad=vel_grad, stress_accel=stress_accel,

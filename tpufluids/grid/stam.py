@@ -560,6 +560,24 @@ def _jitted_step3d(cfg: StamConfig, with_residual: bool = False):
     return jax.jit(lambda s: step3d(s, cfg, with_residual=with_residual))
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_step2d(cfg: StamConfig):
+    return jax.jit(lambda s, sources: step2d(s, cfg, sources))
+
+
+def run2d_python(state: GridState2D, cfg: StamConfig, n_steps: int,
+                 sources=None, snapshot_every: int = 0, snapshot_fn=None):
+    """Python-driven 2D step loop (jit-cached; see run3d_python)."""
+    step = _jitted_step2d(cfg)
+    for i in range(n_steps):
+        state = step(state, sources)
+        if (i & 7) == 7:
+            float(state.dens[1, 1])
+        if snapshot_fn is not None and snapshot_every > 0                 and (i + 1) % snapshot_every == 0:
+            snapshot_fn(i + 1, jax.device_get(state))
+    return state
+
+
 def run3d_python(state: GridState3D, cfg: StamConfig, n_steps: int):
     """Python-driven step loop.
 
