@@ -79,3 +79,47 @@ def test_run3d_python_matches_scan():
         np.testing.assert_array_equal(np.asarray(getattr(a, f)),
                                       np.asarray(getattr(b, f)), err_msg=f)
     np.testing.assert_allclose(float(res_a[-1]), float(res_b[-1]))
+
+
+def test_advect_multi_pallas_matches_stencil_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
+    rng = np.random.default_rng(5)
+    n = 14
+    cfg = stam.StamConfig(n=n, dt=0.03)
+    shape = (n + 2,) * 3
+    u = jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
+    w = jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
+    d = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+    refs = [stam.advect3d_stencil(b, q, u, v, w, cfg)
+            for b, q in ((1, u), (2, v), (3, w), (0, d))]
+    with pltpu.force_tpu_interpret_mode():
+        outs = advect3d_multi_pallas((u, v, w, d), (1, 2, 3, 0), u, v, w,
+                                     float(cfg.dt * n), tx=4)
+    for r, o in zip(refs, outs):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-6)
+
+
+def test_forcing_pallas_matches_dense_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import forcing3d_pallas
+    rng = np.random.default_rng(6)
+    n = 12
+    cfg = stam.StamConfig(n=n, dt=0.02, vorticity_eps=3.0,
+                          buoyancy_alpha=0.05, buoyancy_beta=1.0,
+                          ambient_temp=0.2)
+    shape = (n + 2,) * 3
+    u = jnp.asarray(rng.normal(0, 0.4, shape), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.4, shape), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.4, shape), jnp.float32)
+    d = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+    w_ref = stam.buoyancy3d(w, d, t, cfg)
+    u_ref, v_ref, w_ref = stam.vorticity_confinement3d(u, v, w_ref, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        uo, vo, wo = forcing3d_pallas(
+            u, v, w, d, t, float(cfg.dt), 1.0 / n, cfg.vorticity_eps,
+            cfg.buoyancy_alpha, cfg.buoyancy_beta, cfg.ambient_temp, tx=4)
+    for a, b in ((u_ref, uo), (v_ref, vo), (w_ref, wo)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)

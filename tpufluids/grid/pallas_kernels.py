@@ -122,6 +122,256 @@ def _bnd_scales(b):
             -1.0 if b == 3 else 1.0)
 
 
+# ---------------------------------------------------------------------------
+# fused buoyancy + vorticity-confinement forcing
+
+
+def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
+                  vu, vv, vw, vd, vt, sems, *, n_full, y_hi, z_hi, tx,
+                  dt, h, eps, b_alpha, b_beta, t_amb):
+    halo = 2
+    t = pl.program_id(0)
+    p = tx + 2 * halo
+    lo = jnp.minimum(t * tx, n_full - tx)
+    wlo = jnp.clip(lo - halo, 0, n_full - p)
+
+    cps = []
+    for i, (src, dst) in enumerate(((u_hbm, vu), (v_hbm, vv), (w_hbm, vw),
+                                    (d_hbm, vd), (t_hbm, vt))):
+        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dst, sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    shape = vu.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+
+    def bnd(x, b):
+        sx, sy, sz = _bnd_scales(b)
+        for axis, cc, scale, hi_idx in ((0, gi, sx, n_full - 1),
+                                        (1, jj, sy, y_hi),
+                                        (2, kk, sz, z_hi)):
+            lo_n, hi_n = _inner_neighbor(x, axis)
+            x = jnp.where(cc == 0, scale * lo_n,
+                          jnp.where(cc == hi_idx, scale * hi_n, x))
+        return x
+
+    u, v, w = vu[...], vv[...], vw[...]
+    if b_alpha or b_beta:
+        # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
+        f = -b_alpha * vd[...] + b_beta * (vt[...] - t_amb)
+        w = bnd(jnp.where(interior, w + dt * f, w), 3)
+
+    if eps:
+        inv2h = 0.5 / h
+
+        def d_axis(q, axis):
+            return (_shift(q, 1, axis) - _shift(q, -1, axis)) * inv2h
+
+        cx = d_axis(w, 1) - d_axis(v, 2)
+        cy = d_axis(u, 2) - d_axis(w, 0)
+        cz = d_axis(v, 0) - d_axis(u, 1)
+        mag = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+        mag = jnp.where(interior, mag, 0.0)
+        gx = d_axis(mag, 0)
+        gy = d_axis(mag, 1)
+        gz = d_axis(mag, 2)
+        norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
+        gx, gy, gz = gx / norm, gy / norm, gz / norm
+        eps_h = eps * h
+        u = bnd(jnp.where(interior,
+                          u + dt * eps_h * (gy * cz - gz * cy), u), 1)
+        v = bnd(jnp.where(interior,
+                          v + dt * eps_h * (gz * cx - gx * cz), v), 2)
+        w = bnd(jnp.where(interior,
+                          w + dt * eps_h * (gx * cy - gy * cx), w), 3)
+
+    vu[...], vv[...], vw[...] = u, v, w
+    wcps = []
+    for ref, out in ((vu, uo), (vv, vo), (vw, wo)):
+        cp = pltpu.make_async_copy(ref.at[pl.ds(lo - wlo, tx)],
+                                   out.at[pl.ds(lo, tx)], sems.at[0])
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dt", "h", "eps", "b_alpha", "b_beta", "t_amb", "tx"))
+def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
+                     b_alpha: float, b_beta: float, t_amb: float,
+                     tx: int = 4):
+    """Fused buoyancy + vorticity confinement (stam.buoyancy3d followed
+    by stam.vorticity_confinement3d), one HBM pass."""
+    n_full, y_true, z_true = u.shape
+    yp = -(-y_true // 8) * 8
+    zp = -(-z_true // 128) * 128
+    padded = (yp != y_true) or (zp != z_true)
+
+    def pad(a):
+        return jnp.pad(a, ((0, 0), (0, yp - y_true), (0, zp - z_true))) \
+            if padded else a
+
+    ins = [pad(a) for a in (u, v, w, dens, temp)]
+    p = tx + 4
+    kern = functools.partial(
+        _force_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1,
+        tx=tx, dt=dt, h=h, eps=eps, b_alpha=b_alpha, b_beta=b_beta,
+        t_amb=t_amb)
+    outs = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(n_full, tx),),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
+        out_shape=tuple(jax.ShapeDtypeStruct(ins[0].shape, jnp.float32)
+                        for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((p, ins[0].shape[1], ins[0].shape[2]),
+                                   jnp.float32) for _ in range(5)]
+        + [pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(*ins)
+    if padded:
+        outs = tuple(o[:, :y_true, :z_true] for o in outs)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# fused multi-field 27-tap semi-Lagrangian advection
+
+
+def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
+                   dt0, bnds):
+    """rest = (field_hbm... , out_hbm..., vu, vv, vw, vf..., sems).
+    Advect k fields by (u,v,w) with one shared set of backtrace weights
+    (the XLA path recomputes them per field)."""
+    k = len(bnds)
+    f_hbm = rest[:k]
+    o_hbm = rest[k:2 * k]
+    vu, vv, vw = rest[2 * k:2 * k + 3]
+    vf = rest[2 * k + 3:3 * k + 3]
+    sems = rest[3 * k + 3]
+
+    t = pl.program_id(0)
+    p = tx + 2
+    lo = jnp.minimum(t * tx, n_full - tx)
+    wlo = jnp.clip(lo - 1, 0, n_full - p)
+
+    cps = []
+    for i, (src, dst) in enumerate(
+            [(u_hbm, vu), (v_hbm, vv), (w_hbm, vw)]
+            + list(zip(f_hbm, vf))):
+        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dst, sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    shape = vu.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    gif = gi.astype(jnp.float32)
+    jjf = jj.astype(jnp.float32)
+    kkf = kk.astype(jnp.float32)
+    n = jnp.float32(n_full - 2)
+
+    def offs(vel, coord, extent):
+        o = jnp.clip(-dt0 * vel, -1.0, 1.0)
+        # per-cell source clamp to [0.5, n_axis + 0.5] where n_axis =
+        # extent - 2 interior cells, matching the dense stencil advection
+        return jnp.clip(o, 0.5 - coord, extent - 1.5 - coord)
+
+    ox = offs(vu[...], gif, jnp.float32(n_full))
+    oy = offs(vv[...], jjf, jnp.float32(y_hi + 1))
+    oz = offs(vw[...], kkf, jnp.float32(z_hi + 1))
+
+    def hat(o, d):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(o - d))
+
+    outs = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
+    fields = [r[...] for r in vf]
+    for dx in (-1, 0, 1):
+        wx = hat(ox, dx)
+        fx = [_shift(f, dx, 0) for f in fields]
+        for dy in (-1, 0, 1):
+            wxy = wx * hat(oy, dy)
+            fxy = [_shift(f, dy, 1) for f in fx]
+            for dz in (-1, 0, 1):
+                wgt = wxy * hat(oz, dz)
+                for q in range(k):
+                    outs[q] = outs[q] + wgt * _shift(fxy[q], dz, 2)
+
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+    wcps = []
+    for q in range(k):
+        sx, sy, sz = _bnd_scales(bnds[q])
+        out = jnp.where(interior, outs[q], fields[q])
+        for axis, cc, scale, hi_idx in ((0, gi, sx, n_full - 1),
+                                        (1, jj, sy, y_hi),
+                                        (2, kk, sz, z_hi)):
+            lo_n, hi_n = _inner_neighbor(out, axis)
+            out = jnp.where(cc == 0, scale * lo_n,
+                            jnp.where(cc == hi_idx, scale * hi_n, out))
+        vf[q][...] = out
+        cp = pltpu.make_async_copy(vf[q].at[pl.ds(lo - wlo, tx)],
+                                   o_hbm[q].at[pl.ds(lo, tx)], sems.at[q])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx"))
+def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float, tx: int = 8):
+    """Fused 27-tap stencil advection of ``fields`` (tuple) by (u,v,w).
+
+    Equivalent to calling stam.advect3d_stencil per field, but the
+    backtrace weights are computed once and all fields stream through
+    VMEM together.
+    """
+    k = len(fields)
+    assert len(bnds) == k
+    n_full, y_true, z_true = u.shape
+    yp = -(-y_true // 8) * 8
+    zp = -(-z_true // 128) * 128
+    padded = (yp != y_true) or (zp != z_true)
+
+    def pad(a):
+        return jnp.pad(a, ((0, 0), (0, yp - y_true), (0, zp - z_true))) \
+            if padded else a
+
+    u_, v_, w_ = pad(u), pad(v), pad(w)
+    fs = [pad(f) for f in fields]
+    p = tx + 2
+    grid = (pl.cdiv(n_full, tx),)
+    vmem = lambda: pltpu.VMEM((p, yp, zp), jnp.float32)  # noqa: E731
+
+    kern = functools.partial(
+        _advect_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1,
+        tx=tx, dt0=dt0, bnds=bnds)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 + k),
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * k),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(u_.shape, jnp.float32) for _ in range(k)),
+        scratch_shapes=[vmem() for _ in range(3 + k)]
+        + [pltpu.SemaphoreType.DMA((3 + k,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(u_, v_, w_, *fs)
+    if padded:
+        outs = tuple(o[:, :y_true, :z_true] for o in outs)
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=(
     "b", "a", "c", "iters", "red_black", "tx", "fuse"))
 def lin_solve3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
@@ -144,7 +394,10 @@ def lin_solve3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
         x0 = jnp.pad(x0, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
     sx, sy, sz = _bnd_scales(b)
     if red_black:
-        passes, parities = iters, (0, 1)
+        fuse = max(1, min(fuse, iters))
+        if iters % fuse:
+            raise ValueError(f"iters={iters} must be a multiple of fuse")
+        passes, parities = iters // fuse, (0, 1) * fuse
     else:
         fuse = max(1, min(fuse, iters))
         if iters % fuse:

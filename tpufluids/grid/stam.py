@@ -202,7 +202,7 @@ def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False):
         from tpufluids.grid.pallas_kernels import lin_solve3d_pallas
         fuse = 2 if iters % 2 == 0 else 1
         return lin_solve3d_pallas(b, x, x0, float(a), float(c), iters,
-                                  red_black=red_black, fuse=fuse)
+                                  red_black=red_black, fuse=fuse, tx=16)
     return lin_solve3d(b, x, x0, a, c, iters, red_black=red_black)
 
 
@@ -519,29 +519,51 @@ def step3d(state: GridState3D, cfg: StamConfig,
         w = w + cfg.dt * sources.get("fw", 0.0)
         dens = dens + cfg.dt * sources.get("dens", 0.0)
         temp = temp + cfg.dt * sources.get("temp", 0.0)
-    if cfg.buoyancy_alpha or cfg.buoyancy_beta:
-        w = buoyancy3d(w, dens, temp, cfg)
-    if cfg.vorticity_eps:
-        u, v, w = vorticity_confinement3d(u, v, w, cfg)
+    if _use_pallas(cfg) and (cfg.buoyancy_alpha or cfg.buoyancy_beta
+                             or cfg.vorticity_eps):
+        from tpufluids.grid.pallas_kernels import forcing3d_pallas
+        n_ = u.shape[0] - 2
+        u, v, w = forcing3d_pallas(
+            u, v, w, dens, temp, float(cfg.dt), 1.0 / n_,
+            float(cfg.vorticity_eps), float(cfg.buoyancy_alpha),
+            float(cfg.buoyancy_beta), float(cfg.ambient_temp))
+    else:
+        if cfg.buoyancy_alpha or cfg.buoyancy_beta:
+            w = buoyancy3d(w, dens, temp, cfg)
+        if cfg.vorticity_eps:
+            u, v, w = vorticity_confinement3d(u, v, w, cfg)
     if cfg.visc:
         u = diffuse3d(1, u, cfg, cfg.visc)
         v = diffuse3d(2, v, cfg, cfg.visc)
         w = diffuse3d(3, w, cfg, cfg.visc)
     u, v, w = project3d(u, v, w, cfg)
     u0, v0, w0 = u, v, w
-    u = _advect3(1, u0, u0, v0, w0, cfg)
-    v = _advect3(2, v0, u0, v0, w0, cfg)
-    w = _advect3(3, w0, u0, v0, w0, cfg)
+    fused_advect = _use_pallas(cfg) and cfg.advect_mode == "stencil"
+    if fused_advect:
+        from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
+        n = u.shape[0] - 2
+        u, v, w = advect3d_multi_pallas((u0, v0, w0), (1, 2, 3),
+                                        u0, v0, w0, float(cfg.dt * n),
+                                        tx=4)
+    else:
+        u = _advect3(1, u0, u0, v0, w0, cfg)
+        v = _advect3(2, v0, u0, v0, w0, cfg)
+        w = _advect3(3, w0, u0, v0, w0, cfg)
     if with_residual:
         u, v, w, res = project3d(u, v, w, cfg, with_residual=True)
     else:
         u, v, w = project3d(u, v, w, cfg)
     if cfg.diff:
         dens = diffuse3d(0, dens, cfg, cfg.diff)
-    dens = _advect3(0, dens, u, v, w, cfg)
     if cfg.temp_diff:
         temp = diffuse3d(0, temp, cfg, cfg.temp_diff)
-    temp = _advect3(0, temp, u, v, w, cfg)
+    if fused_advect:
+        n = u.shape[0] - 2
+        dens, temp = advect3d_multi_pallas((dens, temp), (0, 0), u, v, w,
+                                           float(cfg.dt * n), tx=4)
+    else:
+        dens = _advect3(0, dens, u, v, w, cfg)
+        temp = _advect3(0, temp, u, v, w, cfg)
     out = GridState3D(u=u, v=v, w=w, dens=dens, temp=temp)
     return (out, res) if with_residual else out
 
