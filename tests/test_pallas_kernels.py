@@ -123,3 +123,43 @@ def test_forcing_pallas_matches_dense_interpret():
             cfg.buoyancy_alpha, cfg.buoyancy_beta, cfg.ambient_temp, tx=4)
     for a, b in ((u_ref, uo), (v_ref, vo), (w_ref, wo)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)
+
+
+def test_sph_force_kernel_matches_xla_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import BASE_CONFIG
+    from tpufluids.forces import compute_forces
+    from tpufluids.scenes import random_blob
+    from tpufluids.sph_pallas import base_forces_pallas
+    cfg = BASE_CONFIG.replace(max_per_cell=32, grid_size=8, cell_size=0.25)
+    state = random_blob(150, seed=9, cfg=cfg, span=0.6, boundary_frac=0.2)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    ref = compute_forces(ss, bt, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        sw, dp, ovf = base_forces_pallas(ss, bt, cfg)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(ref.sum_w),
+                               rtol=1e-4, atol=1e-4)
+    scale = max(1.0, float(np.abs(np.asarray(ref.dpress)).max()))
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(ref.dpress),
+                               rtol=1e-4, atol=1e-5 * scale)
+
+
+def test_sph_step_with_pallas_backend_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.config import BASE_CONFIG
+    from tpufluids.oracle import state_to_dict
+    from tpufluids.scenes import random_blob
+    from tpufluids.step import sph_step
+    cfg = BASE_CONFIG.replace(max_per_cell=32, grid_size=8, cell_size=0.25)
+    state = random_blob(100, seed=10, cfg=cfg, span=0.6)
+    ref, _ = sph_step(state, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        got, m = sph_step(state, cfg.replace(force_backend="pallas"))
+    rd = state_to_dict(ref)
+    gd = state_to_dict(got)
+    ri, gi = np.argsort(rd["pid"]), np.argsort(gd["pid"])
+    for f in ("pos", "vel", "dens"):
+        np.testing.assert_allclose(gd[f][gi], rd[f][ri], rtol=1e-4,
+                                   atol=1e-5, err_msg=f)

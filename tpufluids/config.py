@@ -132,6 +132,10 @@ class SPHConfig:
     split_child_y_offset: float = -0.03
 
     # --- TPU-side numerics (no reference equivalent) -------------------------
+    # SPH force-pass backend: "xla" (gather-based, default) or "pallas"
+    # (column-window kernel, tpufluids/sph_pallas.py; base variant only,
+    # ~1.7x on TPU). Column population cap is 128.
+    force_backend: str = "xla"
     # dense neighbor-run capacity: each of the 9 (dx,dy) stencil runs covers
     # the contiguous cells (z-1, z, z+1) and holds at most 3*max_per_cell
     # particle slots; overflow is deterministic (highest-rank dropped) and

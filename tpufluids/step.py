@@ -41,7 +41,26 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
              subbin_parity: bool = False) -> tuple[ParticleState, StepMetrics]:
     """One physics step. Pure; safe under jit/scan/shard_map."""
     state, bt = binning.sort_by_cell(state, cfg)
-    acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity)
+    if cfg.variant == "base" and cfg.force_backend == "pallas" \
+            and not subbin_parity:
+        from tpufluids.forces import ForceAccum
+        from tpufluids.sph_pallas import base_forces_pallas
+        import jax.numpy as _jnp
+        n = state.capacity
+        sw, dp, kovf = base_forces_pallas(state, bt, cfg)
+        z3 = _jnp.zeros((n, 3), _jnp.float32)
+        z33 = _jnp.zeros((n, 3, 3), _jnp.float32)
+        acc = ForceAccum(
+            sum_w=sw, dpress=dp, diffusion=z3, vel_grad=z33,
+            stress_accel=z3, solid_drift=z3, fluid_drift=z3,
+            mixture_accel=z3, delsolid=_jnp.zeros(n, _jnp.float32),
+            delfluid=_jnp.zeros(n, _jnp.float32),
+            stress_scaled=state.stress, stress_rate=z33,
+            split_trigger=_jnp.zeros(n, bool),
+            merge_partner=_jnp.full(n, -1, _jnp.int32))
+        bt = bt._replace(overflow=bt.overflow + kovf)
+    else:
+        acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity)
     if cfg.variant != "base" and cfg.merge_dist > 0:
         state = adapt.apply_merges(state, acc.merge_partner, cfg)
     state = update(state, acc, cfg)
@@ -73,6 +92,27 @@ def run_chunk(state: ParticleState, cfg: SPHConfig, n_steps: int,
         return s, m
 
     return jax.lax.scan(body, state, None, length=n_steps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "subbin_parity"))
+def _jitted_sph_step(state: ParticleState, cfg: SPHConfig,
+                     subbin_parity: bool = False):
+    return sph_step(state, cfg, subbin_parity)
+
+
+def run_python(state: ParticleState, cfg: SPHConfig, n_steps: int,
+               subbin_parity: bool = False):
+    """Python-driven step loop (one jitted dispatch per step, fenced
+    every 8 steps).  Preferred over run_chunk on runtimes where custom
+    calls inside lax.scan pay a per-call host round trip (the axon TPU
+    tunnel) — which matters once the Pallas force kernel is enabled.
+    Returns (state, last-step metrics)."""
+    metrics = None
+    for i in range(n_steps):
+        state, metrics = _jitted_sph_step(state, cfg, subbin_parity)
+        if (i & 7) == 7:
+            float(state.pos[0, 0])
+    return state, metrics
 
 
 def run(state: ParticleState, cfg: SPHConfig, n_steps: int,
