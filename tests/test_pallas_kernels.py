@@ -163,3 +163,66 @@ def test_sph_step_with_pallas_backend_interpret():
     for f in ("pos", "vel", "dens"):
         np.testing.assert_allclose(gd[f][gi], rd[f][ri], rtol=1e-4,
                                    atol=1e-5, err_msg=f)
+
+
+def test_unidyn_force_kernel_matches_xla_interpret():
+    import sys
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import UNIDYN_CONFIG
+    from tpufluids.forces import compute_forces
+    from tpufluids.sph_pallas import unidyn_forces_pallas
+    sys.path.insert(0, "tests")
+    from test_forces_vs_oracle import mixed_blob
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=32, grid_size=8,
+                                cell_size=0.25)
+    state = mixed_blob(150, 7, cfg, span=0.5)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    ref = compute_forces(ss, bt, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        got = unidyn_forces_pallas(ss, bt, cfg)
+    assert int(got["overflow"]) == 0
+    for name, a in (("sum_w", ref.sum_w), ("dpress", ref.dpress),
+                    ("diffusion", ref.diffusion),
+                    ("vel_grad", ref.vel_grad),
+                    ("stress_accel", ref.stress_accel),
+                    ("solid_drift", ref.solid_drift),
+                    ("fluid_drift", ref.fluid_drift),
+                    ("mixture_accel", ref.mixture_accel),
+                    ("delsolid", ref.delsolid),
+                    ("delfluid", ref.delfluid)):
+        a = np.asarray(a)
+        b = np.asarray(got[name])
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
+                                   err_msg=name)
+    # split trigger derived from the kernel's pair count must match the
+    # XLA trigger exactly
+    from tpufluids.forces import compute_split_trigger
+    split = compute_split_trigger(ss, got["diffusion"], got["has_pair"],
+                                  cfg)
+    np.testing.assert_array_equal(np.asarray(split),
+                                  np.asarray(ref.split_trigger))
+
+
+def test_unidyn_step_with_pallas_backend_interpret():
+    import sys
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.config import UNIDYN_CONFIG
+    from tpufluids.oracle import state_to_dict
+    from tpufluids.step import sph_step
+    sys.path.insert(0, "tests")
+    from test_forces_vs_oracle import mixed_blob
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=32, grid_size=8,
+                                cell_size=0.25)
+    state = mixed_blob(120, 11, cfg, span=0.5)
+    ref, _ = sph_step(state, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        got, m = sph_step(state, cfg.replace(force_backend="pallas"))
+    rd = state_to_dict(ref)
+    gd = state_to_dict(got)
+    ri, gi = np.argsort(rd["pid"]), np.argsort(gd["pid"])
+    for f in ("pos", "vel", "dens", "solid", "fluid", "stress"):
+        scale = max(1.0, np.abs(rd[f][ri]).max())
+        np.testing.assert_allclose(gd[f][gi], rd[f][ri], rtol=1e-4,
+                                   atol=1e-5 * scale, err_msg=f)

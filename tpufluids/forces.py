@@ -117,6 +117,49 @@ def _msum(x, mask, axis=1):
     return jnp.sum(jnp.where(mask, x, 0.0), axis=axis)
 
 
+def granular_pass(state: ParticleState, vel_grad: jax.Array,
+                  cfg: SPHConfig) -> tuple[jax.Array, jax.Array]:
+    """Per-particle granular pass (FluidGPU-unidyn.cu:410-446): strain
+    rate from the accumulated velocity gradient, Drucker-Prager yield
+    scaling of sigma, and the stress-rate update.  Pure per-particle
+    math, shared by the XLA and Pallas force backends.
+
+    Returns (stress_scaled, stress_rate)."""
+    press, solid = state.press, state.solid
+    sr = 0.5 * (vel_grad + jnp.swapaxes(vel_grad, 1, 2))
+    tr = jnp.trace(sr, axis1=1, axis2=2)
+    tr3 = 0.5 * jnp.sum(state.stress * state.stress, axis=(1, 2))
+    tr5 = jnp.sum(sr * sr, axis=(1, 2))
+    tr4 = jnp.einsum("ipq,iqp->i", state.stress, sr)
+    ppos = press * (press > 0)
+    ylim = (3.0 * math.tan(cfg.phi) / cfg.yield_denom * ppos
+            + cfg.kc / cfg.yield_denom)
+    scale = jnp.where((ylim < tr3) & (tr3 != 0),
+                      ylim / jnp.where(tr3 == 0, 1.0, tr3), 1.0)
+    active = solid != 0
+    sig = jnp.where(active[:, None, None],
+                    state.stress * scale[:, None, None], state.stress)
+    eye = jnp.eye(3, dtype=jnp.float32)[None]
+    rate = (3.0 * cfg.c1 * press[:, None, None]
+            * (sr - tr[:, None, None] / 3.0 * eye)
+            + cfg.c1 * cfg.c2 * ((tr4 + tr * ppos)
+                                 / (press * press + cfg.stress_rate_reg)
+                                 )[:, None, None] * sig
+            - cfg.c1 * cfg.c3 * jnp.sqrt(tr5)[:, None, None] * sig)
+    rate = jnp.where(active[:, None, None], rate, 0.0)
+    return sig, rate
+
+
+def compute_split_trigger(state: ParticleState, diffusion: jax.Array,
+                          has_pair: jax.Array, cfg: SPHConfig) -> jax.Array:
+    """Adaptive-resolution split trigger (FluidGPU-unidyn.cu:261-285)."""
+    diff2 = jnp.sum(diffusion * diffusion, axis=-1)
+    return (has_pair & (state.mass > cfg.split_mass_min)
+            & (~state.boundary) & state.alive
+            & ((diff2 > cfg.split_diffusion_min)
+               | (state.dens < cfg.split_dens_max)))
+
+
 def compute_forces(state: ParticleState, bt: BinTable,
                    cfg: SPHConfig, subbin_parity: bool = False,
                    subbin_threshold: int = 6,
@@ -285,36 +328,11 @@ def compute_forces(state: ParticleState, bt: BinTable,
     delfluid = _msum(both_fluid * (-0.5 / dens_j) * (fi + fj) * dk_vab
                      + (-drift_f) / dens_j, mask)
 
-    # ---- per-particle granular pass (FluidGPU-unidyn.cu:410-446) ---------
-    sr = 0.5 * (vel_grad + jnp.swapaxes(vel_grad, 1, 2))
-    tr = jnp.trace(sr, axis1=1, axis2=2)
-    tr3 = 0.5 * jnp.sum(state.stress * state.stress, axis=(1, 2))
-    tr5 = jnp.sum(sr * sr, axis=(1, 2))
-    tr4 = jnp.einsum("ipq,iqp->i", state.stress, sr)
-    ppos = press * (press > 0)
-    ylim = (3.0 * math.tan(cfg.phi) / cfg.yield_denom * ppos
-            + cfg.kc / cfg.yield_denom)
-    scale = jnp.where((ylim < tr3) & (tr3 != 0),
-                      ylim / jnp.where(tr3 == 0, 1.0, tr3), 1.0)
-    active = solid != 0
-    sig = jnp.where(active[:, None, None],
-                    state.stress * scale[:, None, None], state.stress)
-    eye = jnp.eye(3, dtype=jnp.float32)[None]
-    rate = (3.0 * cfg.c1 * press[:, None, None]
-            * (sr - tr[:, None, None] / 3.0 * eye)
-            + cfg.c1 * cfg.c2 * ((tr4 + tr * ppos)
-                                 / (press * press + cfg.stress_rate_reg)
-                                 )[:, None, None] * sig
-            - cfg.c1 * cfg.c3 * jnp.sqrt(tr5)[:, None, None] * sig)
-    rate = jnp.where(active[:, None, None], rate, 0.0)
-
-    # ---- adaptive-resolution triggers (FluidGPU-unidyn.cu:261-285) -------
-    diff2 = jnp.sum(diffusion * diffusion, axis=-1)
+    # ---- per-particle granular pass + split trigger (shared with the
+    # Pallas backend, see sph_step) -----------------------------------------
+    sig, rate = granular_pass(state, vel_grad, cfg)
     has_pair = jnp.any(mask, axis=1)
-    split_trigger = (has_pair & (state.mass > cfg.split_mass_min) & (~bnd)
-                     & state.alive
-                     & ((diff2 > cfg.split_diffusion_min)
-                        | (dens < cfg.split_dens_max)))
+    split_trigger = compute_split_trigger(state, diffusion, has_pair, cfg)
     # merge: nearest eligible neighbor within merge_dist (ships disabled
     # via the -10.0 sentinel, FluidGPU-unidyn.cu:261; the whole branch
     # is elided unless enabled)

@@ -216,3 +216,394 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     cols = jnp.where(valid, col_of * b + jnp.clip(rank, 0, b - 1), 0)
     res = jnp.where(valid[None, :], out[0:4, cols], 0.0)
     return res[0], res[1:4].T, overflow
+
+
+# ---------------------------------------------------------------------------
+# unidyn variant: two kernel passes (drift velocities are accumulated in
+# pass A and consumed in pass B — the deterministic resolution of the
+# reference's atomic read-write race, see tpufluids/oracle.py)
+
+# extended packed layout (columns 0-9 shared with the base layout)
+_MASS, _SOLID, _FLUID, _DP, _SIG, _SDV, _FDV = 10, 11, 12, 13, 16, 25, 28
+
+# pass A output rows
+_A_SUMW, _A_DP, _A_DIFF, _A_VG, _A_SA, _A_SDV, _A_FDV, _A_CNT = \
+    0, 1, 4, 7, 16, 19, 22, 25
+_A_ROWS = 26
+# pass B output rows
+_B_MA, _B_DSOL, _B_DFLU = 0, 3, 4
+_B_ROWS = 5
+
+
+def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, b: int,
+                 sdv=None, fdv=None):
+    n = sorted_state.capacity
+    s = sorted_state
+    packed = jnp.zeros((n + b, F), jnp.float32)
+    packed = packed.at[:n, _X:_X + 3].set(s.pos)
+    packed = packed.at[:n, _V:_V + 3].set(s.vel)
+    packed = packed.at[:n, _DENS].set(s.dens)
+    packed = packed.at[:n, _PRESS].set(s.press)
+    packed = packed.at[:n, _BND].set(s.boundary.astype(jnp.float32))
+    packed = packed.at[:n, _ALIVE].set(
+        (s.alive & bt.in_dom).astype(jnp.float32))
+    packed = packed.at[:n, _MASS].set(s.mass)
+    packed = packed.at[:n, _SOLID].set(s.solid)
+    packed = packed.at[:n, _FLUID].set(s.fluid)
+    packed = packed.at[:n, _DP:_DP + 3].set(s.delpress)
+    packed = packed.at[:n, _SIG:_SIG + 9].set(s.stress.reshape(n, 9))
+    if sdv is not None:
+        packed = packed.at[:n, _SDV:_SDV + 3].set(sdv)
+        packed = packed.at[:n, _FDV:_FDV + 3].set(fdv)
+    return packed
+
+
+def _unidyn_prologue(col_start, packed_hbm, home, sems, t, b, cfg):
+    h_start = col_start[t]
+    cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
+                               sems.at[0])
+    cp.start()
+    cp.wait()
+    return home[...].T                                      # (F, B)
+
+
+def _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg):
+    """Shared pair geometry on the (W, B) tile; returns a dict."""
+    h = jnp.float32(cfg.cutoff)
+
+    def irow(c):
+        return hmT[c, :][None, :]
+
+    def jcol(c):
+        return wj[:, c][:, None]
+
+    rabx = irow(_X) - jcol(_X)
+    raby = irow(_X + 1) - jcol(_X + 1)
+    rabz = irow(_X + 2) - jcol(_X + 2)
+    ds2 = rabx * rabx + raby * raby + rabz * rabz
+    ds = jnp.sqrt(ds2)
+    czj = jnp.floor((jcol(_X + 2) - cfg.zmin) / cfg.cell_size)
+    dz_ok = jnp.abs(czi - czj) <= 1.0
+    mask = (i_valid & j_valid & dz_ok & (ds > 0) & (ds <= 2 * h))
+    ds_safe = jnp.where(ds > 0, ds, 1.0)
+    vabx = irow(_V) - jcol(_V)
+    vaby = irow(_V + 1) - jcol(_V + 1)
+    vabz = irow(_V + 2) - jcol(_V + 2)
+    d = vabx * rabx + vaby * raby + vabz * rabz
+    dw = jnp.where(ds < h, -45.0 / (PI_REF * h ** 6) * (h - ds) ** 2, 0.0)
+    return dict(rab=(rabx, raby, rabz), vab=(vabx, vaby, vabz),
+                ds=ds, ds2=ds2, ds_safe=ds_safe, d=d, mask=mask,
+                dkf=dw / ds_safe, irow=irow, jcol=jcol)
+
+
+def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win, sems, *,
+                     g, b, w_cap, cfg: SPHConfig):
+    t = pl.program_id(0)
+    cx = t // g
+    cy = t % g
+    h_count = jnp.minimum(col_start[t + 1] - col_start[t], b)
+
+    @pl.when(h_count > 0)
+    def _():
+        hmT = _unidyn_prologue(col_start, packed_hbm, home, sems, t, b, cfg)
+
+        def irow(c):
+            return hmT[c, :][None, :]
+
+        h = jnp.float32(cfg.cutoff)
+        czi = jnp.floor((irow(_X + 2) - cfg.zmin) / cfg.cell_size)
+        i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+                    < h_count) & (irow(_ALIVE) > 0.5))
+        bi = irow(_BND) > 0.5
+        di, pi = irow(_DENS), irow(_PRESS)
+        si, fi = irow(_SOLID), irow(_FLUID)
+        mi = irow(_MASS)
+        # mass fractions + mixture gate (FluidGPU-unidyn.cu:314-317)
+        denom = cfg.rho0_sand * si + cfg.rho0 * fi
+        denom = jnp.where(denom == 0, 1.0, denom)
+        msf = si * cfg.rho0_sand / denom
+        mff = fi * cfg.rho0 / denom
+        gate_i = ((msf > cfg.mix_frac_min) & (msf < cfg.mix_frac_max)
+                  & (mff > cfg.mix_frac_min) & (mff < cfg.mix_frac_max))
+        s_safe = jnp.where(si == 0, 1.0, si)
+        f_safe = jnp.where(fi == 0, 1.0, fi)
+
+        def window_body(r, acc):
+            dx = r // 3 - 1
+            dy = r % 3 - 1
+            nx, ny = cx + dx, cy + dy
+            ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+            ncc = jnp.clip(nx * g + ny, 0, g * g - 1)
+            w_start = col_start[ncc]
+            w_count = jnp.minimum(
+                jnp.where(ok, col_start[ncc + 1] - w_start, 0), w_cap)
+            cpw = pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(w_start, w_cap)], win, sems.at[1])
+            cpw.start()
+            cpw.wait()
+            wj = win[...]
+
+            def jcol(c):
+                return wj[:, c][:, None]
+
+            j_valid = ((jax.lax.broadcasted_iota(jnp.int32, (w_cap, 1), 0)
+                        < w_count) & (jcol(_ALIVE) > 0.5))
+            gm = _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg)
+            mask = gm["mask"]
+            rabx, raby, rabz = gm["rab"]
+            vabx, vaby, vabz = gm["vab"]
+            ds, ds2, d, dkf = gm["ds"], gm["ds2"], gm["d"], gm["dkf"]
+
+            def msum(x):
+                return jnp.sum(jnp.where(mask, x, 0.0), axis=0)
+
+            bj = jcol(_BND) > 0.5
+            nb_bnd = (~bi) & bj
+            both_fluid = (~bi) & (~bj)
+            mj = jcol(_MASS)
+            dj, pj = jcol(_DENS), jcol(_PRESS)
+            sj, fj = jcol(_SOLID), jcol(_FLUID)
+
+            # cubic W
+            q = ds / h
+            w_in = 1.0 - 1.5 * q * q + 0.75 * q * q * q
+            w_out = 0.25 * (2.0 - q) ** 3
+            wker = jnp.where(q <= 1.0, w_in, jnp.where(q < 2.0, w_out, 0.0)
+                             ) / (PI_REF * h ** 3)
+
+            # unidyn viscosity (FluidGPU-unidyn.cu:307)
+            mu = h * (d / (ds2 + 0.01 * h * h))
+            alpha_i = (si * 9.0 + 1.0) * cfg.alpha_fluid
+            bfac = 1.0 + nb_bnd * ((1.0 + 3.0 * fi * fi)
+                                   * cfg.alpha_sand_boundary)
+            rho_bar = (di + dj) / 2.0
+            s = (alpha_i * cfg.sound
+                 * (mi * mu + cfg.visc_quadratic / cfg.sound * mu * mu)
+                 / rho_bar * (d < 0) * bfac)
+            p_term = pj / (dj * dj) + pi / (di * di) + s
+            pk = p_term * dkf * mj
+
+            rows = [msum(wker * (1.0 + nb_bnd * cfg.bdensfactor) * mj),
+                    msum(pk * rabx), msum(pk * raby), msum(pk * rabz)]
+            # diffusion / color gradient (FluidGPU-unidyn.cu:364-366)
+            dfac = jnp.where(both_fluid, mj / dj, 0.0) * dkf
+            rows += [msum(dfac * rabx), msum(dfac * raby), msum(dfac * rabz)]
+
+            # mixfactor-gated velocity gradient (FluidGPU-unidyn.cu:368-377)
+            mixfactor = jnp.where(
+                both_fluid & (si > 0) & (sj > 0),
+                2.0 * si * sj / (si + sj + cfg.mixfactor_reg), 0.0)
+            rab = (rabx, raby, rabz)
+            vab = (vabx, vaby, vabz)
+            for a in range(3):
+                for bb in range(3):
+                    rows.append(msum(-mixfactor * vab[bb] * dkf * rab[a]))
+
+            # stress acceleration (FluidGPU-unidyn.cu:379-381); sigma_i is
+            # per-home-particle, so the row contraction is over lanes
+            for a in range(3):
+                term = dkf * (irow(_SIG + 3 * a) * rabx
+                              + irow(_SIG + 3 * a + 1) * raby
+                              + irow(_SIG + 3 * a + 2) * rabz)
+                rows.append(msum((1.0 + mixfactor) * term))
+
+            # drift velocities (pass A; FluidGPU-unidyn.cu:314-356)
+            g3 = mask & both_fluid & gate_i
+            sg = [(sj - si) * dkf * r for r in rab]
+            fg = [(fj - fi) * dkf * r for r in rab]
+            A_ = [(si * pi - sj * pj) * dkf * r for r in rab]
+            B_ = [(fi * pi - fj * pj) * dkf * r for r in rab]
+            v_dk = dkf * (irow(_V) * rabx + irow(_V + 1) * raby
+                          + irow(_V + 2) * rabz)
+            s_pref = di * (si - msf * si - mff * fi)
+            f_pref = di * (fi - msf * si - mff * fi)
+            grav = (0.0, 0.0, cfg.gravity)
+            sdv_rows, fdv_rows = [], []
+            for a in range(3):
+                body = ((150.0 / di) * irow(_DP + a) + grav[a]
+                        - v_dk * vab[a])
+                sbrown = sg[a] / s_safe * (1 - msf) - mff * fg[a] / f_safe
+                fbrown = fg[a] / f_safe * (1 - mff) - msf * sg[a] / s_safe
+                sslip = A_[a] * (1 - msf) - mff * B_[a]
+                fslip = B_[a] * (1 - mff) - msf * A_[a]
+                sdv_rows.append(jnp.sum(jnp.where(
+                    g3, cfg.mixpressure * (s_pref * body + sslip)
+                    - cfg.mixbrownian * sbrown, 0.0), axis=0))
+                fdv_rows.append(jnp.sum(jnp.where(
+                    g3, cfg.mixpressure * (f_pref * body + fslip)
+                    - cfg.mixbrownian * fbrown, 0.0), axis=0))
+            rows += sdv_rows + fdv_rows
+            rows.append(msum(jnp.ones_like(ds)))   # pair count
+            return acc + jnp.stack(rows, axis=0)
+
+        acc = jax.lax.fori_loop(0, NCOLS, window_body,
+                                jnp.zeros((_A_ROWS, b), jnp.float32))
+        out_ref[...] = jnp.concatenate(
+            [acc, jnp.zeros((F - _A_ROWS, b), jnp.float32)], axis=0)
+
+
+def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win, sems, *,
+                     g, b, w_cap, cfg: SPHConfig):
+    t = pl.program_id(0)
+    cx = t // g
+    cy = t % g
+    h_count = jnp.minimum(col_start[t + 1] - col_start[t], b)
+
+    @pl.when(h_count > 0)
+    def _():
+        hmT = _unidyn_prologue(col_start, packed_hbm, home, sems, t, b, cfg)
+
+        def irow(c):
+            return hmT[c, :][None, :]
+
+        czi = jnp.floor((irow(_X + 2) - cfg.zmin) / cfg.cell_size)
+        i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+                    < h_count) & (irow(_ALIVE) > 0.5))
+        bi = irow(_BND) > 0.5
+        di = irow(_DENS)
+        si, fi = irow(_SOLID), irow(_FLUID)
+        sdvi = [irow(_SDV + a) for a in range(3)]
+        fdvi = [irow(_FDV + a) for a in range(3)]
+
+        def window_body(r, acc):
+            dx = r // 3 - 1
+            dy = r % 3 - 1
+            nx, ny = cx + dx, cy + dy
+            ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+            ncc = jnp.clip(nx * g + ny, 0, g * g - 1)
+            w_start = col_start[ncc]
+            w_count = jnp.minimum(
+                jnp.where(ok, col_start[ncc + 1] - w_start, 0), w_cap)
+            cpw = pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(w_start, w_cap)], win, sems.at[1])
+            cpw.start()
+            cpw.wait()
+            wj = win[...]
+
+            def jcol(c):
+                return wj[:, c][:, None]
+
+            j_valid = ((jax.lax.broadcasted_iota(jnp.int32, (w_cap, 1), 0)
+                        < w_count) & (jcol(_ALIVE) > 0.5))
+            gm = _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg)
+            mask = gm["mask"]
+            rab = gm["rab"]
+            vab = gm["vab"]
+            dkf = gm["dkf"]
+
+            def msum(x):
+                return jnp.sum(jnp.where(mask, x, 0.0), axis=0)
+
+            bj = jcol(_BND) > 0.5
+            both_fluid = (~bi) & (~bj)
+            dj = jcol(_DENS)
+            sj, fj = jcol(_SOLID), jcol(_FLUID)
+            sdvj = [jcol(_SDV + a) for a in range(3)]
+            fdvj = [jcol(_FDV + a) for a in range(3)]
+
+            ds_i = dkf * sum(sdvi[a] * rab[a] for a in range(3))
+            ds_j = dkf * sum(sdvj[a] * rab[a] for a in range(3))
+            df_i = dkf * sum(fdvi[a] * rab[a] for a in range(3))
+            df_j = dkf * sum(fdvj[a] * rab[a] for a in range(3))
+
+            rows = []
+            # mixture acceleration (FluidGPU-unidyn.cu:391-398)
+            for a in range(3):
+                term = (sj * dj * (sj * sdvj[a] * ds_j + si * sdvi[a] * ds_i)
+                        + fj * dj * (fj * fdvj[a] * df_j
+                                     + fi * fdvi[a] * df_i))
+                rows.append(msum(-term / (di * dj)))
+            # phase transport (FluidGPU-unidyn.cu:400-401): divergence part
+            # boundary-gated, drift part ungated (reference precedence)
+            dk_vab = dkf * sum(rab[a] * vab[a] for a in range(3))
+            drift_s = dkf * sum((si * sdvi[a] + sj * sdvj[a]) * rab[a]
+                                for a in range(3))
+            drift_f = dkf * sum((fi * fdvi[a] + fj * fdvj[a]) * rab[a]
+                                for a in range(3))
+            rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
+                             * (-0.5 / dj) * (si + sj) * dk_vab
+                             + (-drift_s) / dj))
+            rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
+                             * (-0.5 / dj) * (fi + fj) * dk_vab
+                             + (-drift_f) / dj))
+            return acc + jnp.stack(rows, axis=0)
+
+        acc = jax.lax.fori_loop(0, NCOLS, window_body,
+                                jnp.zeros((_B_ROWS, b), jnp.float32))
+        out_ref[...] = jnp.concatenate(
+            [acc, jnp.zeros((F - _B_ROWS, b), jnp.float32)], axis=0)
+
+
+def _run_column_kernel(kern_fn, col_start, packed, g, b, w_cap, cfg):
+    kern = functools.partial(kern_fn, g=g, b=b, w_cap=w_cap, cfg=cfg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g * g,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((F, b), lambda t, cs: (0, t)),
+        scratch_shapes=[
+            pltpu.VMEM((b, F), jnp.float32),
+            pltpu.VMEM((w_cap, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, g * g * b), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(col_start.astype(jnp.int32), packed)
+
+
+def _tile_to_particle(out, bt, col_start, n, g, b, nrows):
+    cid = jnp.clip(bt.cid, 0, g * g * g)
+    col_of = jnp.minimum(cid // g, g * g - 1)
+    rank = jnp.arange(n, dtype=jnp.int32) - col_start[col_of]
+    valid = (bt.cid < g * g * g) & (rank >= 0) & (rank < b)
+    cols = jnp.where(valid, col_of * b + jnp.clip(rank, 0, b - 1), 0)
+    return jnp.where(valid[None, :], out[0:nrows, cols], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "b", "w_cap"))
+def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
+                         cfg: SPHConfig, b: int = 128, w_cap: int = 128):
+    """Full unidyn pair accumulation with the column-window kernels.
+
+    Returns a dict with every ForceAccum pair field plus has_pair and
+    the column overflow count.  The per-particle granular pass and the
+    merge/split triggers stay in XLA (tpufluids.forces semantics).
+    """
+    g = cfg.grid_size
+    n = sorted_state.capacity
+    col_start = bt.cell_start[0:g * g * g + 1:g]
+    col_count = col_start[1:] - col_start[:-1]
+    overflow = jnp.sum(jnp.maximum(col_count - b, 0))
+
+    packed = _pack_unidyn(sorted_state, bt, b)
+    out_a = _run_column_kernel(_unidyn_kernel_a, col_start, packed,
+                               g, b, w_cap, cfg)
+    res_a = _tile_to_particle(out_a, bt, col_start, n, g, b, _A_ROWS)
+    sdv = res_a[_A_SDV:_A_SDV + 3].T
+    fdv = res_a[_A_FDV:_A_FDV + 3].T
+
+    packed_b = _pack_unidyn(sorted_state, bt, b, sdv=sdv, fdv=fdv)
+    out_b = _run_column_kernel(_unidyn_kernel_b, col_start, packed_b,
+                               g, b, w_cap, cfg)
+    res_b = _tile_to_particle(out_b, bt, col_start, n, g, b, _B_ROWS)
+
+    dens = sorted_state.dens
+    return dict(
+        sum_w=res_a[_A_SUMW],
+        dpress=res_a[_A_DP:_A_DP + 3].T,
+        diffusion=res_a[_A_DIFF:_A_DIFF + 3].T,
+        vel_grad=(res_a[_A_VG:_A_VG + 9].T / dens[:, None]).reshape(n, 3, 3),
+        stress_accel=res_a[_A_SA:_A_SA + 3].T / (dens * dens)[:, None],
+        solid_drift=sdv,
+        fluid_drift=fdv,
+        mixture_accel=res_b[_B_MA:_B_MA + 3].T,
+        delsolid=res_b[_B_DSOL],
+        delfluid=res_b[_B_DFLU],
+        has_pair=res_a[_A_CNT] > 0,
+        overflow=overflow,
+    )

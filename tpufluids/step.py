@@ -41,24 +41,45 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
              subbin_parity: bool = False) -> tuple[ParticleState, StepMetrics]:
     """One physics step. Pure; safe under jit/scan/shard_map."""
     state, bt = binning.sort_by_cell(state, cfg)
-    if cfg.variant == "base" and cfg.force_backend == "pallas" \
-            and not subbin_parity:
+    # the Pallas column-window force backend covers both variants; it
+    # falls back to XLA for subbin parity mode and for merge-enabled
+    # unidyn runs (merge partner search needs the XLA candidate set)
+    use_pallas = (cfg.force_backend == "pallas" and not subbin_parity
+                  and not (cfg.variant != "base" and cfg.merge_dist > 0))
+    if use_pallas and cfg.variant == "base":
         from tpufluids.forces import ForceAccum
         from tpufluids.sph_pallas import base_forces_pallas
-        import jax.numpy as _jnp
         n = state.capacity
         sw, dp, kovf = base_forces_pallas(state, bt, cfg)
-        z3 = _jnp.zeros((n, 3), _jnp.float32)
-        z33 = _jnp.zeros((n, 3, 3), _jnp.float32)
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
             sum_w=sw, dpress=dp, diffusion=z3, vel_grad=z33,
             stress_accel=z3, solid_drift=z3, fluid_drift=z3,
-            mixture_accel=z3, delsolid=_jnp.zeros(n, _jnp.float32),
-            delfluid=_jnp.zeros(n, _jnp.float32),
+            mixture_accel=z3, delsolid=jnp.zeros(n, jnp.float32),
+            delfluid=jnp.zeros(n, jnp.float32),
             stress_scaled=state.stress, stress_rate=z33,
-            split_trigger=_jnp.zeros(n, bool),
-            merge_partner=_jnp.full(n, -1, _jnp.int32))
+            split_trigger=jnp.zeros(n, bool),
+            merge_partner=jnp.full(n, -1, jnp.int32))
         bt = bt._replace(overflow=bt.overflow + kovf)
+    elif use_pallas:
+        from tpufluids.forces import (ForceAccum, compute_split_trigger,
+                                      granular_pass)
+        from tpufluids.sph_pallas import unidyn_forces_pallas
+        n = state.capacity
+        r = unidyn_forces_pallas(state, bt, cfg)
+        sig, rate = granular_pass(state, r["vel_grad"], cfg)
+        split = compute_split_trigger(state, r["diffusion"],
+                                      r["has_pair"], cfg)
+        acc = ForceAccum(
+            sum_w=r["sum_w"], dpress=r["dpress"], diffusion=r["diffusion"],
+            vel_grad=r["vel_grad"], stress_accel=r["stress_accel"],
+            solid_drift=r["solid_drift"], fluid_drift=r["fluid_drift"],
+            mixture_accel=r["mixture_accel"], delsolid=r["delsolid"],
+            delfluid=r["delfluid"], stress_scaled=sig, stress_rate=rate,
+            split_trigger=split,
+            merge_partner=jnp.full(n, -1, jnp.int32))
+        bt = bt._replace(overflow=bt.overflow + r["overflow"])
     else:
         acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity)
     if cfg.variant != "base" and cfg.merge_dist > 0:
