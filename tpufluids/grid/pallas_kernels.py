@@ -28,16 +28,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _inner_neighbor(v, axis):
-    """out[i] = v[i-1] for i > 0, v[1] at i = 0, along ``axis`` — for
-    the set_bnd reflection the face at 0 needs v[1] and the face at
-    L_true-1 needs v[L_true-2]; a +1/-1 shift pair selected by a mask
-    covers both without needing the true extent."""
-    lo = _shift(v, 1, axis)    # out[i] = v[i+1]
-    hi = _shift(v, -1, axis)   # out[i] = v[i-1]
-    return lo, hi
-
-
 def _shift(v, d, axis):
     """out[i] = v[i + d] with zero fill (edges are masked downstream)."""
     L = v.shape[axis]
@@ -54,33 +44,39 @@ def _shift(v, d, axis):
     return jnp.pad(v[sl(0, L + d)], pad)
 
 
-def _sweep(v, v0, gi, jj, kk, *, a, c_inv, sx, sy, sz, n_full, y_hi,
-           z_hi, parity):
-    """One jacobi sweep + set_bnd on a VMEM window.  ``gi`` is the
-    global x-plane index of each window plane; jj/kk are y/z iotas.
+def _face_fix_ref(vx, is_first, is_last, *, p, sx, sy, sz, y_hi, z_hi):
+    """set_bnd applied in-place on the VMEM window ref via thin-slab
+    slice assignments, in the dense order (x faces, then y, then z —
+    set_bnd3d at stam.py:116-126).  Thin slabs replace the 12
+    full-window shift+select ops of the naive formulation (the solver
+    is VPU-bound; every full-window op is ~1 ms over a 40-sweep solve
+    at 256^3).
+
+    Global x faces exist only at window index 0 of the first tile
+    (``is_first``: window start == 0) and index p-1 of the last
+    (``is_last``); other windows write back the identity slab."""
+    vx[0:1] = jnp.where(is_first, sx * vx[1:2], vx[0:1])
+    vx[p - 1:p] = jnp.where(is_last, sx * vx[p - 2:p - 1], vx[p - 1:p])
+    vx[:, 0:1, :] = sy * vx[:, 1:2, :]
+    vx[:, y_hi:y_hi + 1, :] = sy * vx[:, y_hi - 1:y_hi, :]
+    vx[:, :, 0:1] = sz * vx[:, :, 1:2]
+    vx[:, :, z_hi:z_hi + 1] = sz * vx[:, :, z_hi - 1:z_hi]
+
+
+def _sweep_ref(vx, v0, mask, is_first, is_last, *, a, c_inv, sx, sy, sz,
+               p, y_hi, z_hi):
+    """One jacobi/red-black sweep + set_bnd on the VMEM window ref.
+    ``mask`` is the precomputed interior(-and-parity) mask;
     ``y_hi``/``z_hi`` are the TRUE last indices (the buffer may carry
     tiling padding beyond them, which stays untouched)."""
+    v = vx[...]
     taps = (_shift(v, -1, 0) + _shift(v, 1, 0)
             + _shift(v, -1, 1) + _shift(v, 1, 1)
             + _shift(v, -1, 2) + _shift(v, 1, 2))
     new = (v0 + a * taps) * c_inv
-    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1) & (jj <= y_hi - 1)
-                & (kk >= 1) & (kk <= z_hi - 1))
-    if parity is not None:
-        # dense _checker parity is on 0-based interior indices:
-        # ((gi-1)+(jj-1)+(kk-1)) % 2
-        interior = interior & (((gi + jj + kk + 1) % 2) == parity)
-    out = jnp.where(interior, new, v)
-    # set_bnd, in the dense order: x faces, then y, then z.  Each face
-    # cell copies its interior neighbor (the +1 shift at the low face,
-    # the -1 shift at the high face).
-    for axis, cc, scale, hi_idx in ((0, gi, sx, n_full - 1),
-                                    (1, jj, sy, y_hi),
-                                    (2, kk, sz, z_hi)):
-        lo_n, hi_n = _inner_neighbor(out, axis)
-        out = jnp.where(cc == 0, scale * lo_n,
-                        jnp.where(cc == hi_idx, scale * hi_n, out))
-    return out
+    vx[...] = jnp.where(mask, new, v)
+    _face_fix_ref(vx, is_first, is_last, p=p, sx=sx, sy=sy, sz=sz,
+                  y_hi=y_hi, z_hi=z_hi)
 
 
 def _solve_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
@@ -103,13 +99,24 @@ def _solve_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
     jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
 
-    v = vx[...]
+    # loop-invariant masks, computed once per program
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+    if parities[0] is None:
+        masks = {None: interior}
+    else:
+        # dense _checker parity is on 0-based interior indices:
+        # ((gi-1)+(jj-1)+(kk-1)) % 2
+        chk = ((gi + jj + kk + 1) % 2) == 0
+        masks = {0: interior & chk, 1: interior & (~chk)}
+    is_first = wlo == 0
+    is_last = wlo == n_full - p
+
     v0 = vx0[...]
     for parity in parities:
-        v = _sweep(v, v0, gi, jj, kk, a=a, c_inv=c_inv, sx=sx, sy=sy,
-                   sz=sz, n_full=n_full, y_hi=y_hi, z_hi=z_hi,
-                   parity=parity)
-    vx[...] = v
+        _sweep_ref(vx, v0, masks[parity], is_first, is_last, a=a,
+                   c_inv=c_inv, sx=sx, sy=sy, sz=sz, p=p, y_hi=y_hi,
+                   z_hi=z_hi)
 
     cp3 = pltpu.make_async_copy(
         vx.at[pl.ds(lo - wlo, tx)], out_hbm.at[pl.ds(lo, tx)], sem1)
@@ -150,25 +157,24 @@ def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
     kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
                 & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+    p_ = vu.shape[0]
+    is_first = wlo == 0
+    is_last = wlo == n_full - p_
 
-    def bnd(x, b):
+    def bnd_ref(ref, b):
         sx, sy, sz = _bnd_scales(b)
-        for axis, cc, scale, hi_idx in ((0, gi, sx, n_full - 1),
-                                        (1, jj, sy, y_hi),
-                                        (2, kk, sz, z_hi)):
-            lo_n, hi_n = _inner_neighbor(x, axis)
-            x = jnp.where(cc == 0, scale * lo_n,
-                          jnp.where(cc == hi_idx, scale * hi_n, x))
-        return x
+        _face_fix_ref(ref, is_first, is_last, p=p_, sx=sx, sy=sy, sz=sz,
+                      y_hi=y_hi, z_hi=z_hi)
 
-    u, v, w = vu[...], vv[...], vw[...]
     if b_alpha or b_beta:
         # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
         f = -b_alpha * vd[...] + b_beta * (vt[...] - t_amb)
-        w = bnd(jnp.where(interior, w + dt * f, w), 3)
+        vw[...] = jnp.where(interior, vw[...] + dt * f, vw[...])
+        bnd_ref(vw, 3)
 
     if eps:
         inv2h = 0.5 / h
+        u, v, w = vu[...], vv[...], vw[...]
 
         def d_axis(q, axis):
             return (_shift(q, 1, axis) - _shift(q, -1, axis)) * inv2h
@@ -184,14 +190,16 @@ def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
         norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
         gx, gy, gz = gx / norm, gy / norm, gz / norm
         eps_h = eps * h
-        u = bnd(jnp.where(interior,
-                          u + dt * eps_h * (gy * cz - gz * cy), u), 1)
-        v = bnd(jnp.where(interior,
-                          v + dt * eps_h * (gz * cx - gx * cz), v), 2)
-        w = bnd(jnp.where(interior,
-                          w + dt * eps_h * (gx * cy - gy * cx), w), 3)
+        vu[...] = jnp.where(interior,
+                            u + dt * eps_h * (gy * cz - gz * cy), u)
+        vv[...] = jnp.where(interior,
+                            v + dt * eps_h * (gz * cx - gx * cz), v)
+        vw[...] = jnp.where(interior,
+                            w + dt * eps_h * (gx * cy - gy * cx), w)
+        bnd_ref(vu, 1)
+        bnd_ref(vv, 2)
+        bnd_ref(vw, 3)
 
-    vu[...], vv[...], vw[...] = u, v, w
     wcps = []
     for ref, out in ((vu, uo), (vv, vo), (vw, wo)):
         cp = pltpu.make_async_copy(ref.at[pl.ds(lo - wlo, tx)],
@@ -308,17 +316,14 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
 
     interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
                 & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+    is_first = wlo == 0
+    is_last = wlo == n_full - p
     wcps = []
     for q in range(k):
         sx, sy, sz = _bnd_scales(bnds[q])
-        out = jnp.where(interior, outs[q], fields[q])
-        for axis, cc, scale, hi_idx in ((0, gi, sx, n_full - 1),
-                                        (1, jj, sy, y_hi),
-                                        (2, kk, sz, z_hi)):
-            lo_n, hi_n = _inner_neighbor(out, axis)
-            out = jnp.where(cc == 0, scale * lo_n,
-                            jnp.where(cc == hi_idx, scale * hi_n, out))
-        vf[q][...] = out
+        vf[q][...] = jnp.where(interior, outs[q], fields[q])
+        _face_fix_ref(vf[q], is_first, is_last, p=p, sx=sx, sy=sy,
+                      sz=sz, y_hi=y_hi, z_hi=z_hi)
         cp = pltpu.make_async_copy(vf[q].at[pl.ds(lo - wlo, tx)],
                                    o_hbm[q].at[pl.ds(lo, tx)], sems.at[q])
         cp.start()
