@@ -45,7 +45,49 @@ F = 128          # packed row width (lane-aligned)
 _X, _V, _DENS, _PRESS, _BND, _ALIVE = 0, 3, 6, 7, 8, 9
 
 
-def _sph_kernel(col_start, packed_hbm, out_ref, home, win, sems, *,
+def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, g, w_cap,
+                 body_fn, acc0):
+    """Double-buffered sweep over the 9 neighbor columns.
+
+    The window DMAs dominated the kernels' latency when issued
+    start/wait back-to-back (9 serialized round trips per program);
+    here window r+1 streams into the alternate VMEM slot while window
+    r is being computed.  ``body_fn(acc, wj, w_count)`` does the pair
+    math for one window block ``wj`` (w_cap, F) with ``w_count`` valid
+    rows.  The loop is Python-unrolled so slots/semaphores are static.
+    """
+    def rng(r):
+        dx = r // 3 - 1
+        dy = r % 3 - 1
+        nx, ny = cx + dx, cy + dy
+        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+        ncc = jnp.clip(nx * g + ny, 0, g * g - 1)
+        w_start = col_start[ncc]
+        w_count = jnp.minimum(
+            jnp.where(ok, col_start[ncc + 1] - w_start, 0), w_cap)
+        return w_start, w_count
+
+    def copy(slot, w_start):
+        return pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(w_start, w_cap)], win2.at[slot],
+            sems.at[slot])
+
+    acc = acc0
+    w_start, w_count = rng(0)
+    copy(0, w_start).start()
+    for r in range(NCOLS):
+        slot = r % 2
+        if r + 1 < NCOLS:
+            nxt = rng(r + 1)
+            copy(1 - slot, nxt[0]).start()
+        copy(slot, w_start).wait()
+        acc = body_fn(acc, win2[slot], w_count)
+        if r + 1 < NCOLS:
+            w_start, w_count = nxt
+    return acc
+
+
+def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
                 g, b, w_cap, cfg: SPHConfig):
     t = pl.program_id(0)
     cx = t // g
@@ -56,15 +98,15 @@ def _sph_kernel(col_start, packed_hbm, out_ref, home, win, sems, *,
     # empty columns (most of the grid) skip all DMA and pair work
     @pl.when(h_count > 0)
     def _do_column():
-        _column_body(col_start, packed_hbm, out_ref, home, win, sems,
+        _column_body(col_start, packed_hbm, out_ref, home, win2, sems,
                      t=t, cx=cx, cy=cy, h_start=h_start, h_count=h_count,
                      g=g, b=b, w_cap=w_cap, cfg=cfg)
 
 
-def _column_body(col_start, packed_hbm, out_ref, home, win, sems, *,
+def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
                  t, cx, cy, h_start, h_count, g, b, w_cap, cfg):
     cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
-                               sems.at[0])
+                               sems.at[2])
     cp.start()
     cp.wait()
 
@@ -85,23 +127,7 @@ def _column_body(col_start, packed_hbm, out_ref, home, win, sems, *,
     i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) < h_count)
                & (irow(_ALIVE) > 0.5))
 
-    def window_body(r, acc):
-        dx = r // 3 - 1
-        dy = r % 3 - 1
-        nx, ny = cx + dx, cy + dy
-        nc = nx * g + ny
-        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
-        ncc = jnp.clip(nc, 0, g * g - 1)
-        w_start = col_start[ncc]
-        w_count = jnp.where(ok, col_start[ncc + 1] - w_start, 0)
-        w_count = jnp.minimum(w_count, w_cap)
-
-        cpw = pltpu.make_async_copy(packed_hbm.at[pl.ds(w_start, w_cap)],
-                                    win, sems.at[1])
-        cpw.start()
-        cpw.wait()
-        wj = win[...]                                      # (W, F)
-
+    def window_body(acc, wj, w_count):
         def jcol(c):
             return wj[:, c][:, None]                       # (W, 1)
 
@@ -156,10 +182,15 @@ def _column_body(col_start, packed_hbm, out_ref, home, win, sems, *,
         dpz = msum(pk * rabz)
         return acc + jnp.stack([sum_w, dpx, dpy, dpz], axis=0)  # (4, B)
 
-    acc = jax.lax.fori_loop(0, NCOLS, window_body,
-                            jnp.zeros((4, b), jnp.float32))
+    acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
+                       g=g, w_cap=w_cap, body_fn=window_body,
+                       acc0=jnp.zeros((4, b), jnp.float32))
+    # tiles are written in (b, F) orientation (one transpose per
+    # program) so the map back to particle order is a cheap row
+    # gather — a (rows, g^2*b) column gather costs ~36 ns/element on
+    # TPU and dominated the whole force pass before
     out_ref[...] = jnp.concatenate(
-        [acc, jnp.zeros((F - 4, b), jnp.float32)], axis=0)
+        [acc.T, jnp.zeros((b, F - 4), jnp.float32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "b", "w_cap"))
@@ -191,31 +222,24 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
         num_scalar_prefetch=1,
         grid=(g * g,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        # output is (F, G^2 * B): accumulator rows stay in the pair-tile
-        # orientation so no transpose is needed on write
-        out_specs=pl.BlockSpec((F, b), lambda t, cs: (0, t)),
+        # tiles in (b, F) orientation: particle mapping is a row gather
+        out_specs=pl.BlockSpec((b, F), lambda t, cs: (t, 0)),
         scratch_shapes=[
             pltpu.VMEM((b, F), jnp.float32),
-            pltpu.VMEM((w_cap, F), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, w_cap, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, g * g * b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g * g * b, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(col_start.astype(jnp.int32), packed)
 
-    # map tile-owned columns back to particle order
-    cid = jnp.clip(bt.cid, 0, g * g * g)  # sentinel-safe
-    col_of = jnp.minimum(cid // g, g * g - 1)
-    rank = jnp.arange(n, dtype=jnp.int32) - col_start[col_of]
-    valid = (bt.cid < g * g * g) & (rank >= 0) & (rank < b)
-    cols = jnp.where(valid, col_of * b + jnp.clip(rank, 0, b - 1), 0)
-    res = jnp.where(valid[None, :], out[0:4, cols], 0.0)
-    return res[0], res[1:4].T, overflow
+    res = _tile_to_particle(out, bt, col_start, n, g, b)
+    return res[:, 0], res[:, 1:4], overflow
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +285,7 @@ def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, b: int,
 def _unidyn_prologue(col_start, packed_hbm, home, sems, t, b, cfg):
     h_start = col_start[t]
     cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
-                               sems.at[0])
+                               sems.at[2])
     cp.start()
     cp.wait()
     return home[...].T                                      # (F, B)
@@ -296,7 +320,7 @@ def _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg):
                 dkf=dw / ds_safe, irow=irow, jcol=jcol)
 
 
-def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win, sems, *,
+def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
                      g, b, w_cap, cfg: SPHConfig):
     t = pl.program_id(0)
     cx = t // g
@@ -328,21 +352,7 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win, sems, *,
         s_safe = jnp.where(si == 0, 1.0, si)
         f_safe = jnp.where(fi == 0, 1.0, fi)
 
-        def window_body(r, acc):
-            dx = r // 3 - 1
-            dy = r % 3 - 1
-            nx, ny = cx + dx, cy + dy
-            ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
-            ncc = jnp.clip(nx * g + ny, 0, g * g - 1)
-            w_start = col_start[ncc]
-            w_count = jnp.minimum(
-                jnp.where(ok, col_start[ncc + 1] - w_start, 0), w_cap)
-            cpw = pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(w_start, w_cap)], win, sems.at[1])
-            cpw.start()
-            cpw.wait()
-            wj = win[...]
-
+        def window_body(acc, wj, w_count):
             def jcol(c):
                 return wj[:, c][:, None]
 
@@ -436,13 +446,14 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win, sems, *,
             rows.append(msum(jnp.ones_like(ds)))   # pair count
             return acc + jnp.stack(rows, axis=0)
 
-        acc = jax.lax.fori_loop(0, NCOLS, window_body,
-                                jnp.zeros((_A_ROWS, b), jnp.float32))
+        acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
+                           g=g, w_cap=w_cap, body_fn=window_body,
+                           acc0=jnp.zeros((_A_ROWS, b), jnp.float32))
         out_ref[...] = jnp.concatenate(
-            [acc, jnp.zeros((F - _A_ROWS, b), jnp.float32)], axis=0)
+            [acc.T, jnp.zeros((b, F - _A_ROWS), jnp.float32)], axis=1)
 
 
-def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win, sems, *,
+def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win2, sems, *,
                      g, b, w_cap, cfg: SPHConfig):
     t = pl.program_id(0)
     cx = t // g
@@ -465,21 +476,7 @@ def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win, sems, *,
         sdvi = [irow(_SDV + a) for a in range(3)]
         fdvi = [irow(_FDV + a) for a in range(3)]
 
-        def window_body(r, acc):
-            dx = r // 3 - 1
-            dy = r % 3 - 1
-            nx, ny = cx + dx, cy + dy
-            ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
-            ncc = jnp.clip(nx * g + ny, 0, g * g - 1)
-            w_start = col_start[ncc]
-            w_count = jnp.minimum(
-                jnp.where(ok, col_start[ncc + 1] - w_start, 0), w_cap)
-            cpw = pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(w_start, w_cap)], win, sems.at[1])
-            cpw.start()
-            cpw.wait()
-            wj = win[...]
-
+        def window_body(acc, wj, w_count):
             def jcol(c):
                 return wj[:, c][:, None]
 
@@ -528,10 +525,11 @@ def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win, sems, *,
                              + (-drift_f) / dj))
             return acc + jnp.stack(rows, axis=0)
 
-        acc = jax.lax.fori_loop(0, NCOLS, window_body,
-                                jnp.zeros((_B_ROWS, b), jnp.float32))
+        acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
+                           g=g, w_cap=w_cap, body_fn=window_body,
+                           acc0=jnp.zeros((_B_ROWS, b), jnp.float32))
         out_ref[...] = jnp.concatenate(
-            [acc, jnp.zeros((F - _B_ROWS, b), jnp.float32)], axis=0)
+            [acc.T, jnp.zeros((b, F - _B_ROWS), jnp.float32)], axis=1)
 
 
 def _run_column_kernel(kern_fn, col_start, packed, g, b, w_cap, cfg):
@@ -540,29 +538,32 @@ def _run_column_kernel(kern_fn, col_start, packed, g, b, w_cap, cfg):
         num_scalar_prefetch=1,
         grid=(g * g,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((F, b), lambda t, cs: (0, t)),
+        out_specs=pl.BlockSpec((b, F), lambda t, cs: (t, 0)),
         scratch_shapes=[
             pltpu.VMEM((b, F), jnp.float32),
-            pltpu.VMEM((w_cap, F), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, w_cap, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, g * g * b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g * g * b, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(col_start.astype(jnp.int32), packed)
 
 
-def _tile_to_particle(out, bt, col_start, n, g, b, nrows):
+def _tile_to_particle(out, bt, col_start, n, g, b):
+    """Map (g^2*b, F) tile rows back to sorted-particle order with ONE
+    row gather (per-index cost, independent of row width — the same
+    trick as forces.pair_geometry's packed gather)."""
     cid = jnp.clip(bt.cid, 0, g * g * g)
     col_of = jnp.minimum(cid // g, g * g - 1)
     rank = jnp.arange(n, dtype=jnp.int32) - col_start[col_of]
     valid = (bt.cid < g * g * g) & (rank >= 0) & (rank < b)
-    cols = jnp.where(valid, col_of * b + jnp.clip(rank, 0, b - 1), 0)
-    return jnp.where(valid[None, :], out[0:nrows, cols], 0.0)
+    rows = jnp.where(valid, col_of * b + jnp.clip(rank, 0, b - 1), 0)
+    return jnp.where(valid[:, None], out[rows], 0.0)          # (n, F)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "b", "w_cap"))
@@ -583,27 +584,31 @@ def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     packed = _pack_unidyn(sorted_state, bt, b)
     out_a = _run_column_kernel(_unidyn_kernel_a, col_start, packed,
                                g, b, w_cap, cfg)
-    res_a = _tile_to_particle(out_a, bt, col_start, n, g, b, _A_ROWS)
-    sdv = res_a[_A_SDV:_A_SDV + 3].T
-    fdv = res_a[_A_FDV:_A_FDV + 3].T
+    res_a = _tile_to_particle(out_a, bt, col_start, n, g, b)
+    sdv = res_a[:, _A_SDV:_A_SDV + 3]
+    fdv = res_a[:, _A_FDV:_A_FDV + 3]
 
-    packed_b = _pack_unidyn(sorted_state, bt, b, sdv=sdv, fdv=fdv)
+    # pass B reuses pass A's packed buffer with the drift-velocity
+    # columns spliced in (a full repack costs ~1.2 ms at 14k particles)
+    packed_b = packed.at[:n, _SDV:_SDV + 3].set(sdv)
+    packed_b = packed_b.at[:n, _FDV:_FDV + 3].set(fdv)
     out_b = _run_column_kernel(_unidyn_kernel_b, col_start, packed_b,
                                g, b, w_cap, cfg)
-    res_b = _tile_to_particle(out_b, bt, col_start, n, g, b, _B_ROWS)
+    res_b = _tile_to_particle(out_b, bt, col_start, n, g, b)
 
     dens = sorted_state.dens
     return dict(
-        sum_w=res_a[_A_SUMW],
-        dpress=res_a[_A_DP:_A_DP + 3].T,
-        diffusion=res_a[_A_DIFF:_A_DIFF + 3].T,
-        vel_grad=(res_a[_A_VG:_A_VG + 9].T / dens[:, None]).reshape(n, 3, 3),
-        stress_accel=res_a[_A_SA:_A_SA + 3].T / (dens * dens)[:, None],
+        sum_w=res_a[:, _A_SUMW],
+        dpress=res_a[:, _A_DP:_A_DP + 3],
+        diffusion=res_a[:, _A_DIFF:_A_DIFF + 3],
+        vel_grad=(res_a[:, _A_VG:_A_VG + 9]
+                  / dens[:, None]).reshape(n, 3, 3),
+        stress_accel=res_a[:, _A_SA:_A_SA + 3] / (dens * dens)[:, None],
         solid_drift=sdv,
         fluid_drift=fdv,
-        mixture_accel=res_b[_B_MA:_B_MA + 3].T,
-        delsolid=res_b[_B_DSOL],
-        delfluid=res_b[_B_DFLU],
-        has_pair=res_a[_A_CNT] > 0,
+        mixture_accel=res_b[:, _B_MA:_B_MA + 3],
+        delsolid=res_b[:, _B_DSOL],
+        delfluid=res_b[:, _B_DFLU],
+        has_pair=res_a[:, _A_CNT] > 0,
         overflow=overflow,
     )
