@@ -132,10 +132,13 @@ class SPHConfig:
     split_child_y_offset: float = -0.03
 
     # --- TPU-side numerics (no reference equivalent) -------------------------
-    # SPH force-pass backend: "xla" (gather-based, default) or "pallas"
-    # (column-window kernel, tpufluids/sph_pallas.py; base variant only,
-    # ~1.7x on TPU). Column population cap is 128.
-    force_backend: str = "xla"
+    # SPH force-pass backend: "auto" (pallas on TPU, xla elsewhere),
+    # "xla" (gather-based), or "pallas" (column-window kernels,
+    # tpufluids/sph_pallas.py, both variants; 4-5x on v5e at the
+    # reference scenes). Column population cap is 128 (counted
+    # overflow); pallas falls back to xla for subbin-parity mode and
+    # merge-enabled unidyn runs (see step.sph_step).
+    force_backend: str = "auto"
     # dense neighbor-run capacity: each of the 9 (dx,dy) stencil runs covers
     # the contiguous cells (z-1, z, z+1) and holds at most 3*max_per_cell
     # particle slots; overflow is deterministic (highest-rank dropped) and

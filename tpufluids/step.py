@@ -44,7 +44,10 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
     # the Pallas column-window force backend covers both variants; it
     # falls back to XLA for subbin parity mode and for merge-enabled
     # unidyn runs (merge partner search needs the XLA candidate set)
-    use_pallas = (cfg.force_backend == "pallas" and not subbin_parity
+    backend = cfg.force_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_pallas = (backend == "pallas" and not subbin_parity
                   and not (cfg.variant != "base" and cfg.merge_dist > 0))
     if use_pallas and cfg.variant == "base":
         from tpufluids.forces import ForceAccum
