@@ -101,19 +101,22 @@ class BinTable(NamedTuple):
 
 
 def sort_by_cell(state: ParticleState, cfg: SPHConfig,
-                 grid: Optional[GridSpec] = None):
+                 grid: Optional[GridSpec] = None, runs: bool = True):
     """Reorder the whole particle pool by cell id (the reference's
     thrust::sort_by_key over the AoS array, solver.cu:181) and build the
-    run tables."""
+    run tables.  ``runs=False`` skips the per-particle neighbor-run
+    tables (9 gather passes) — the Pallas force backend derives its
+    windows from ``cell_start`` alone."""
     cid, _ = cell_id(state.pos, state.alive, cfg, grid)
     order = jnp.argsort(cid, stable=True)
     state = jax.tree_util.tree_map(lambda a: a[order], state)
-    bt = build_bins(state, cfg, order=order, grid=grid)
+    bt = build_bins(state, cfg, order=order, grid=grid, runs=runs)
     return state, bt
 
 
 def build_bins(state: ParticleState, cfg: SPHConfig, order=None,
-               grid: Optional[GridSpec] = None) -> BinTable:
+               grid: Optional[GridSpec] = None,
+               runs: bool = True) -> BinTable:
     """Build the BinTable for an already-cell-sorted state."""
     grid = grid or full_grid(cfg)
     g = grid.g
@@ -135,6 +138,14 @@ def build_bins(state: ParticleState, cfg: SPHConfig, order=None,
     home_count = cell_start[jnp.clip(cid, 0, num_cells) + 1] - cell_start[
         jnp.clip(cid, 0, num_cells)]
     home_count = jnp.where(cid < num_cells, home_count, 0)
+
+    if not runs:
+        z1 = jnp.zeros((n, 9), jnp.int32)
+        return BinTable(
+            order=order, cid=cid, cx=cx, cy=cy, cz=cz, in_dom=in_dom,
+            cell_start=cell_start, run_start=z1, run_len=z1,
+            home_count=home_count, octant=octant(state.pos, cfg),
+            overflow=jnp.zeros((), jnp.int32))
 
     zlo = jnp.maximum(cz - 1, 0)
     zhi = jnp.minimum(cz + 1, g - 1)

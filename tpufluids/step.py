@@ -40,7 +40,6 @@ class StepMetrics(NamedTuple):
 def sph_step(state: ParticleState, cfg: SPHConfig,
              subbin_parity: bool = False) -> tuple[ParticleState, StepMetrics]:
     """One physics step. Pure; safe under jit/scan/shard_map."""
-    state, bt = binning.sort_by_cell(state, cfg)
     # the Pallas column-window force backend covers both variants; it
     # falls back to XLA for subbin parity mode and for merge-enabled
     # unidyn runs (merge partner search needs the XLA candidate set)
@@ -49,6 +48,9 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     use_pallas = (backend == "pallas" and not subbin_parity
                   and not (cfg.variant != "base" and cfg.merge_dist > 0))
+    # pallas derives neighbor windows from cell_start alone — skip the
+    # 9-pass run tables
+    state, bt = binning.sort_by_cell(state, cfg, runs=not use_pallas)
     if use_pallas and cfg.variant == "base":
         from tpufluids.forces import ForceAccum
         from tpufluids.sph_pallas import base_forces_pallas
