@@ -53,6 +53,11 @@ def build_parser():
         p.add_argument("--jacobi-iters", type=int, default=20)
         p.add_argument("--red-black", action="store_true")
         p.add_argument("--vorticity", type=float, default=0.0)
+        if name in ("plume3d", "grid3d"):
+            p.add_argument("--mac", action="store_true",
+                           help="staggered (MAC) grid: exact face-"
+                                "difference divergence driven to solver"
+                                " tolerance (tpufluids.grid.mac)")
         if name == "grid3d_sharded":
             p.add_argument("--devices", type=int, default=None)
     return ap
@@ -172,6 +177,21 @@ def run_grid(args):
         s, res = step_fn(s)
         res = float(res)
         state_leaf = s.dens
+    elif getattr(args, "mac", False):
+        from tpufluids.grid import mac
+        s = mac.make_mac3d(cfg)
+        k = max(n // 8, 1)
+        s = s.replace(
+            dens=s.dens.at[3 * k:5 * k, 3 * k:5 * k, 0:k].set(1.0),
+            temp=s.temp.at[3 * k:5 * k, 3 * k:5 * k, 0:k].set(3.0))
+        s, residuals = mac.run3d(s, cfg, args.steps)
+        res = float(residuals[-1])
+        state_leaf = s.dens
+        if args.out:
+            vtk.write_regular_mesh(
+                f"{args.out}/{args.scene}_mac_final", int(args.binary),
+                [n, n, n], 1, [1], [1], ["dens"],
+                [np.asarray(s.dens).reshape(-1)])
     else:
         s = stam.make_grid3d(cfg)
         k = max(n // 8, 1)
