@@ -125,6 +125,31 @@ def test_forcing_pallas_matches_dense_interpret():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)
 
 
+def test_div_gradsub_pallas_match_dense_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import div3d_pallas, gradsub3d_pallas
+    rng = np.random.default_rng(4)
+    m = 18  # n_full = n + 2
+    u, v, w, p = (jnp.asarray(rng.normal(0, 1, (m,) * 3), jnp.float32)
+                  for _ in range(4))
+    div_ref = stam.set_bnd3d(0, jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1]
+                             .set(stam.divergence3d(u, v, w)))
+    n = m - 2
+    h = 1.0 / n
+    u_ref = stam.set_bnd3d(1, u.at[1:-1, 1:-1, 1:-1].add(
+        -0.5 * (p[2:, 1:-1, 1:-1] - p[:-2, 1:-1, 1:-1]) / h))
+    v_ref = stam.set_bnd3d(2, v.at[1:-1, 1:-1, 1:-1].add(
+        -0.5 * (p[1:-1, 2:, 1:-1] - p[1:-1, :-2, 1:-1]) / h))
+    w_ref = stam.set_bnd3d(3, w.at[1:-1, 1:-1, 1:-1].add(
+        -0.5 * (p[1:-1, 1:-1, 2:] - p[1:-1, 1:-1, :-2]) / h))
+    with pltpu.force_tpu_interpret_mode():
+        div = div3d_pallas(u, v, w, tx=4)
+        uo, vo, wo = gradsub3d_pallas(p, u, v, w, tx=4)
+    np.testing.assert_array_equal(np.asarray(div), np.asarray(div_ref))
+    for a, b in ((u_ref, uo), (v_ref, vo), (w_ref, wo)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 def test_sph_force_kernel_matches_xla_interpret():
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids import binning

@@ -249,6 +249,164 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
 
 
 # ---------------------------------------------------------------------------
+# fused projection plumbing: divergence build and gradient subtraction
+# (the XLA formulations cost ~6 full-array copies each per projection —
+# .at[].set/.add and the set_bnd face writes each materialize a copy)
+
+
+def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vu, vv, vw, sems, *,
+                n_full, y_hi, z_hi, tx, h):
+    t = pl.program_id(0)
+    p = tx + 2
+    lo = jnp.minimum(t * tx, n_full - tx)
+    wlo = jnp.clip(lo - 1, 0, n_full - p)
+
+    cps = []
+    for i, (src, dst) in enumerate(((u_hbm, vu), (v_hbm, vv),
+                                    (w_hbm, vw))):
+        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dst, sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    shape = vu.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+
+    u, v, w = vu[...], vv[...], vw[...]
+    # same association order as stam.divergence3d (bit-compatible)
+    s = (_shift(u, 1, 0) - _shift(u, -1, 0) + _shift(v, 1, 1)
+         - _shift(v, -1, 1) + _shift(w, 1, 2) - _shift(w, -1, 2))
+    vu[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
+    _face_fix_ref(vu, wlo == 0, wlo == n_full - p, p=p, sx=1.0, sy=1.0,
+                  sz=1.0, y_hi=y_hi, z_hi=z_hi)
+    cp = pltpu.make_async_copy(vu.at[pl.ds(lo - wlo, tx)],
+                               out_hbm.at[pl.ds(lo, tx)], sems.at[0])
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tx",))
+def div3d_pallas(u, v, w, tx: int = 8):
+    """Fused ``set_bnd3d(0, zeros.at[1:-1,...].set(divergence3d(u,v,w)))``
+    — one HBM pass instead of ~6 full-array copies."""
+    n_full, y_true, z_true = u.shape
+    h = 1.0 / (n_full - 2)
+    yp = -(-y_true // 8) * 8
+    zp = -(-z_true // 128) * 128
+    padded = (yp != y_true) or (zp != z_true)
+
+    def pad(a):
+        return jnp.pad(a, ((0, 0), (0, yp - y_true), (0, zp - z_true))) \
+            if padded else a
+
+    ins = [pad(a) for a in (u, v, w)]
+    p = tx + 2
+    kern = functools.partial(_div_kernel, n_full=n_full, y_hi=y_true - 1,
+                             z_hi=z_true - 1, tx=tx, h=h)
+    out = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(n_full, tx),),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(ins[0].shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((p, ins[0].shape[1], ins[0].shape[2]),
+                                   jnp.float32) for _ in range(3)]
+        + [pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+    if padded:
+        out = out[:, :y_true, :z_true]
+    return out
+
+
+def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
+                    vp, vu, vv, vw, sems, *, n_full, y_hi, z_hi, tx, h):
+    t = pl.program_id(0)
+    p = tx + 2
+    lo = jnp.minimum(t * tx, n_full - tx)
+    wlo = jnp.clip(lo - 1, 0, n_full - p)
+
+    cps = []
+    for i, (src, dst) in enumerate(((p_hbm, vp), (u_hbm, vu),
+                                    (v_hbm, vv), (w_hbm, vw))):
+        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dst, sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    shape = vp.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+    is_first = wlo == 0
+    is_last = wlo == n_full - p
+    pr = vp[...]
+    for axis, ref, b in ((0, vu, 1), (1, vv, 2), (2, vw, 3)):
+        # same op order as the dense path (bit-compatible):
+        # -0.5 * (p[i+1] - p[i-1]) / h
+        g_ = (jnp.float32(-0.5)
+              * (_shift(pr, 1, axis) - _shift(pr, -1, axis))
+              / jnp.float32(h))
+        ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
+        sx, sy, sz = _bnd_scales(b)
+        _face_fix_ref(ref, is_first, is_last, p=p, sx=sx, sy=sy, sz=sz,
+                      y_hi=y_hi, z_hi=z_hi)
+    wcps = []
+    for i, (ref, out) in enumerate(((vu, uo), (vv, vo), (vw, wo))):
+        cp = pltpu.make_async_copy(ref.at[pl.ds(lo - wlo, tx)],
+                                   out.at[pl.ds(lo, tx)], sems.at[i])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tx",))
+def gradsub3d_pallas(p_arr, u, v, w, tx: int = 8):
+    """Fused pressure-gradient subtraction + per-component set_bnd
+    (the tail of stam.project3d), one HBM pass."""
+    n_full, y_true, z_true = u.shape
+    h = 1.0 / (n_full - 2)
+    yp = -(-y_true // 8) * 8
+    zp = -(-z_true // 128) * 128
+    padded = (yp != y_true) or (zp != z_true)
+
+    def pad(a):
+        return jnp.pad(a, ((0, 0), (0, yp - y_true), (0, zp - z_true))) \
+            if padded else a
+
+    ins = [pad(a) for a in (p_arr, u, v, w)]
+    pw = tx + 2
+    kern = functools.partial(_gradsub_kernel, n_full=n_full,
+                             y_hi=y_true - 1, z_hi=z_true - 1, tx=tx, h=h)
+    outs = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(n_full, tx),),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
+        out_shape=tuple(jax.ShapeDtypeStruct(ins[0].shape, jnp.float32)
+                        for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((pw, ins[0].shape[1], ins[0].shape[2]),
+                                   jnp.float32) for _ in range(4)]
+        + [pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+    if padded:
+        outs = tuple(o[:, :y_true, :z_true] for o in outs)
+    return outs
+
+
+# ---------------------------------------------------------------------------
 # fused multi-field 27-tap semi-Lagrangian advection
 
 

@@ -393,17 +393,26 @@ def project2d(u, v, cfg, with_residual: bool = False):
 def project3d(u, v, w, cfg, with_residual: bool = False):
     n = u.shape[0] - 2
     h = 1.0 / n
-    div = jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1].set(divergence3d(u, v, w))
-    div = set_bnd3d(0, div)
-    p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
-                     cfg.jacobi_iters, cfg, red_black=cfg.red_black)
-    u = u.at[1:-1, 1:-1, 1:-1].add(
-        -0.5 * (p[2:, 1:-1, 1:-1] - p[:-2, 1:-1, 1:-1]) / h)
-    v = v.at[1:-1, 1:-1, 1:-1].add(
-        -0.5 * (p[1:-1, 2:, 1:-1] - p[1:-1, :-2, 1:-1]) / h)
-    w = w.at[1:-1, 1:-1, 1:-1].add(
-        -0.5 * (p[1:-1, 1:-1, 2:] - p[1:-1, 1:-1, :-2]) / h)
-    u, v, w = set_bnd3d(1, u), set_bnd3d(2, v), set_bnd3d(3, w)
+    if _use_pallas(cfg) and n + 2 >= 16:
+        from tpufluids.grid.pallas_kernels import (div3d_pallas,
+                                                   gradsub3d_pallas)
+        div = div3d_pallas(u, v, w)
+        p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
+                         cfg.jacobi_iters, cfg, red_black=cfg.red_black)
+        u, v, w = gradsub3d_pallas(p, u, v, w)
+    else:
+        div = jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1].set(
+            divergence3d(u, v, w))
+        div = set_bnd3d(0, div)
+        p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
+                         cfg.jacobi_iters, cfg, red_black=cfg.red_black)
+        u = u.at[1:-1, 1:-1, 1:-1].add(
+            -0.5 * (p[2:, 1:-1, 1:-1] - p[:-2, 1:-1, 1:-1]) / h)
+        v = v.at[1:-1, 1:-1, 1:-1].add(
+            -0.5 * (p[1:-1, 2:, 1:-1] - p[1:-1, :-2, 1:-1]) / h)
+        w = w.at[1:-1, 1:-1, 1:-1].add(
+            -0.5 * (p[1:-1, 1:-1, 2:] - p[1:-1, 1:-1, :-2]) / h)
+        u, v, w = set_bnd3d(1, u), set_bnd3d(2, v), set_bnd3d(3, w)
     if with_residual:
         return u, v, w, poisson_residual3d(p, div)
     return u, v, w
