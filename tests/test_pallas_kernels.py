@@ -125,6 +125,21 @@ def test_forcing_pallas_matches_dense_interpret():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)
 
 
+def test_pallas_solver_bf16_close_to_f32_interpret(rand3d):
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_pallas
+    x, x0 = rand3d
+    with pltpu.force_tpu_interpret_mode():
+        f32 = lin_solve3d_pallas(0, x, x0, 1.0, 6.0, 4, red_black=True,
+                                 tx=4, fuse=1)
+        bf16 = lin_solve3d_pallas(0, x, x0, 1.0, 6.0, 4, red_black=True,
+                                  tx=4, fuse=1, dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32
+    scale = float(jnp.abs(f32).max())
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32),
+                               atol=2e-2 * scale)
+
+
 def test_div_gradsub_pallas_match_dense_interpret():
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import div3d_pallas, gradsub3d_pallas

@@ -57,6 +57,11 @@ class StamConfig:
     # pallas kernel (grid/pallas_kernels.py) fuses multiple sweeps +
     # set_bnd per HBM pass: ~3.3x (jacobi) / ~5x (red-black) at 256^3.
     solver_backend: str = "auto"
+    # sweep arithmetic for the pallas solver: "float32" (default,
+    # bit-compatible with the dense path) or "bfloat16" (the sweeps are
+    # VPU-bound; bf16 doubles throughput but costs ~3 decimal digits in
+    # the solved pressure/diffusion field — visual-effects quality)
+    solver_dtype: str = "float32"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -207,8 +212,11 @@ def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False):
         # small grids.
         halo = (2 if red_black else 1) * fuse
         tx = max(1, min(24, x.shape[0] - 2 * halo))
+        dtype = (jnp.bfloat16 if cfg.solver_dtype == "bfloat16"
+                 else jnp.float32)
         return lin_solve3d_pallas(b, x, x0, float(a), float(c), iters,
-                                  red_black=red_black, fuse=fuse, tx=tx)
+                                  red_black=red_black, fuse=fuse, tx=tx,
+                                  dtype=dtype)
     return lin_solve3d(b, x, x0, a, c, iters, red_black=red_black)
 
 
