@@ -125,6 +125,19 @@ def test_forcing_pallas_matches_dense_interpret():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)
 
 
+@pytest.mark.parametrize("b", [0, 1, 3])
+@pytest.mark.parametrize("fuse", [1, 2])
+def test_packed_rb_solver_matches_dense_interpret(rand3d, b, fuse):
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+    x, x0 = rand3d
+    ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve3d_rb_packed(b, x, x0, 1.0, 6.0, 4, tx=4,
+                                    fuse=fuse)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pallas_solver_bf16_close_to_f32_interpret(rand3d):
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import lin_solve3d_pallas

@@ -535,6 +535,225 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float, tx: int = 8):
     return outs
 
 
+# ---------------------------------------------------------------------------
+# packed red-black solver: the checkerboard is deinterleaved along the
+# SUBLANE (y) axis into phase arrays A (parity 0 = red) and B (parity 1)
+# of half the rows, so each half-sweep computes ONLY its active cells —
+# the naive formulation computes both parities and discards half.
+#
+# Packing along y (not z) keeps lanes fully utilized: half-z would need
+# zp/2 lanes re-padded to 128 (~50% waste at 258), half-y re-pads
+# sublanes to 8 (~3%).  With r = (i + k + 1) % 2 (the row offset of
+# phase A at plane i, lane k):
+#   A[i, j', k] = x[i, 2j' + r,     k]   (cells with 0-based interior
+#   B[i, j', k] = x[i, 2j' + 1 - r, k]    parity 0 / 1)
+# the 6-tap stencil of an A-cell reads B with PLAIN +-1 shifts along x
+# and z (the neighbor's phase offset absorbs the parity flip), and a
+# 2-shift select along y.  Identical per-cell arithmetic in the dense
+# order -> bit-compatible with stam.lin_solve3d (tested).
+
+
+def _rb_r_mask(shape, wlo):
+    """True where phase A's row offset r = (i + k + 1) % 2 == 0."""
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return ((gi + kk + 1) % 2) == 0
+
+
+def _rb_face_fix(vA, vB, is_first, is_last, r0, *, p, sx, sy, sz,
+                 y_hi, z_hi):
+    """set_bnd in packed space (dense order: x, then y, then z faces).
+    All slabs are thin.  ``r0`` is the r==0 mask restricted to the slab
+    shapes where needed."""
+    # x faces: cell (0, j, k) <- (1, j, k); the neighbor plane's phase
+    # offset flips, so A[0] copies B[1] and vice versa
+    a1, b1 = vA[1:2], vB[1:2]
+    vA[0:1] = jnp.where(is_first, sx * b1, vA[0:1])
+    vB[0:1] = jnp.where(is_first, sx * a1, vB[0:1])
+    am, bm = vA[p - 2:p - 1], vB[p - 2:p - 1]
+    vA[p - 1:p] = jnp.where(is_last, sx * bm, vA[p - 1:p])
+    vB[p - 1:p] = jnp.where(is_last, sx * am, vB[p - 1:p])
+    # y-lo face: j=0 lives in A where r==0 (else in B); source j=1 is
+    # the other phase's slab 0
+    r0y = r0[:, 0:1, :]
+    a0, b0 = vA[:, 0:1, :], vB[:, 0:1, :]
+    vA[:, 0:1, :] = jnp.where(r0y, sy * b0, a0)
+    vB[:, 0:1, :] = jnp.where(r0y, b0, sy * a0)
+    # y-hi face: j=y_hi at packed index h in the phase holding its
+    # parity; source j=y_hi-1 at index hs in the other phase
+    if y_hi % 2 == 0:
+        # j=y_hi even: in A where r==0 (A j=2j'), in B where r==1
+        # (B j=2m+1-r=2m); source y_hi-1 odd: B (r==0) at h-1, A (r==1)
+        # at h-1
+        h = y_hi // 2
+        ah, bh = vA[:, h:h + 1, :], vB[:, h:h + 1, :]
+        asrc = vA[:, h - 1:h, :]
+        bsrc = vB[:, h - 1:h, :]
+        vA[:, h:h + 1, :] = jnp.where(r0y, sy * bsrc, ah)
+        vB[:, h:h + 1, :] = jnp.where(r0y, bh, sy * asrc)
+    else:
+        # j=y_hi odd: in A where r==1 (A j=2j'+1 at j'=(y_hi-1)/2), in
+        # B where r==0 (B j=2m+1 at m=(y_hi-1)/2); source y_hi-1 even:
+        # A (r==0) / B (r==1) at the same index
+        h = (y_hi - 1) // 2
+        ah, bh = vA[:, h:h + 1, :], vB[:, h:h + 1, :]
+        vA[:, h:h + 1, :] = jnp.where(r0y, ah, sy * bh)
+        vB[:, h:h + 1, :] = jnp.where(r0y, sy * ah, bh)
+    # z faces: cell (i, j, 0) <- (i, j, 1); at lane 0 phase A holds j
+    # rows with offset r(i,0), the source lane 1 has flipped r, so the
+    # same packed row index maps to the same j in the OTHER phase
+    a0, b0 = vA[:, :, 0:1], vB[:, :, 0:1]
+    vA[:, :, 0:1] = sz * vB[:, :, 1:2]
+    vB[:, :, 0:1] = sz * vA[:, :, 1:2]
+    vA[:, :, z_hi:z_hi + 1] = sz * vB[:, :, z_hi - 1:z_hi]
+    vB[:, :, z_hi:z_hi + 1] = sz * vA[:, :, z_hi - 1:z_hi]
+
+
+def _rb_half_sweep(dst, src, dst0, mask, r_sel, *, a, c_inv):
+    """Update phase ``dst`` from ``src`` (the other phase).  ``r_sel``
+    selects the y-tap shift direction (True rows take shift(-1)/no-op,
+    False rows no-op/shift(+1)); dense tap order preserved."""
+    s = src[...]
+    d = dst[...]
+    ylo = jnp.where(r_sel, _shift(s, -1, 1), s)
+    yhi = jnp.where(r_sel, s, _shift(s, 1, 1))
+    taps = (_shift(s, -1, 0) + _shift(s, 1, 0) + ylo + yhi
+            + _shift(s, -1, 2) + _shift(s, 1, 2))
+    new = (dst0 + a * taps) * c_inv
+    dst[...] = jnp.where(mask, new, d)
+
+
+def _solve_rb_packed_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
+                            oB_hbm, vA, vB, vA0, vB0, sems, *,
+                            a, c_inv, sx, sy, sz, n_full, y_hi, z_hi,
+                            tx, halo, n_sweeps):
+    t = pl.program_id(0)
+    p = tx + 2 * halo
+    lo = jnp.minimum(t * tx, n_full - tx)
+    wlo = jnp.clip(lo - halo, 0, n_full - p)
+
+    cps = []
+    for i, (src, dstv) in enumerate(((xA_hbm, vA), (xB_hbm, vB),
+                                     (a0_hbm, vA0), (b0_hbm, vB0))):
+        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dstv,
+                                   sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    shape = vA.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+    jp = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    r0 = _rb_r_mask(shape, wlo)             # r == 0 rows
+    r = jnp.where(r0, 0, 1)
+    jA = 2 * jp + r
+    jB = 2 * jp + 1 - r
+    box = ((gi >= 1) & (gi <= n_full - 2) & (kk >= 1) & (kk <= z_hi - 1))
+    mask_A = box & (jA >= 1) & (jA <= y_hi - 1)
+    mask_B = box & (jB >= 1) & (jB <= y_hi - 1)
+    is_first = wlo == 0
+    is_last = wlo == n_full - p
+
+    a0v = vA0[...]
+    b0v = vB0[...]
+    for s in range(n_sweeps):
+        if s % 2 == 0:
+            # parity-0 half-sweep: update A from B.  A-cell j-1 = B at
+            # j'-1 when r==0 else j'; j+1 = B at j' when r==0 else j'+1
+            _rb_half_sweep(vA, vB, a0v, mask_A, r0, a=a, c_inv=c_inv)
+        else:
+            # parity-1: B-cell has offset 1-r; shift select flips
+            _rb_half_sweep(vB, vA, b0v, mask_B, ~r0, a=a, c_inv=c_inv)
+        _rb_face_fix(vA, vB, is_first, is_last, r0, p=p, sx=sx, sy=sy,
+                     sz=sz, y_hi=y_hi, z_hi=z_hi)
+
+    wcps = []
+    for i, (ref, out) in enumerate(((vA, oA_hbm), (vB, oB_hbm))):
+        cp = pltpu.make_async_copy(ref.at[pl.ds(lo - wlo, tx)],
+                                   out.at[pl.ds(lo, tx)], sems.at[i])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("b", "a", "c", "iters",
+                                              "tx", "fuse"))
+def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
+                          tx: int = 24, fuse: int = 2):
+    """Red-black solver on the packed checkerboard layout — each
+    half-sweep computes only its active cells (~1.9x less VPU work than
+    the masked formulation).  Bit-compatible with
+    stam.lin_solve3d(red_black=True)."""
+    n_full, y_true, z_true = x.shape
+    yp = -(-y_true // 8) * 8
+    zp = -(-z_true // 128) * 128
+    if (yp != y_true) or (zp != z_true):
+        x = jnp.pad(x, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
+        x0 = jnp.pad(x0, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
+    sx, sy, sz = _bnd_scales(b)
+
+    # pack: A/B rows interleave along y with plane/lane-dependent offset
+    ii = jnp.arange(n_full, dtype=jnp.int32)[:, None, None]
+    kz = jnp.arange(zp, dtype=jnp.int32)[None, None, :]
+    r0 = ((ii + kz + 1) % 2) == 0
+    xe, xo = x[:, 0::2, :], x[:, 1::2, :]
+    A = jnp.where(r0, xe, xo)
+    B = jnp.where(r0, xo, xe)
+    x0e, x0o = x0[:, 0::2, :], x0[:, 1::2, :]
+    A0 = jnp.where(r0, x0e, x0o)
+    B0 = jnp.where(r0, x0o, x0e)
+    # re-pad packed sublanes to a multiple of 8
+    yh = yp // 2
+    yhp = -(-yh // 8) * 8
+    if yhp != yh:
+        padr = ((0, 0), (0, yhp - yh), (0, 0))
+        A, B, A0, B0 = (jnp.pad(q, padr) for q in (A, B, A0, B0))
+
+    fuse = max(1, min(fuse, iters))
+    if iters % fuse:
+        raise ValueError(f"iters={iters} must be a multiple of fuse")
+    passes = iters // fuse
+    n_sweeps = 2 * fuse
+    halo = n_sweeps
+    p = tx + 2 * halo
+    if p > n_full:
+        raise ValueError(f"window {p} exceeds array extent {n_full}")
+
+    kern = functools.partial(
+        _solve_rb_packed_kernel, a=a, c_inv=1.0 / c, sx=sx, sy=sy, sz=sz,
+        n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1, tx=tx,
+        halo=halo, n_sweeps=n_sweeps)
+    call = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(n_full, tx),),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 2),
+        out_shape=tuple(jax.ShapeDtypeStruct(A.shape, jnp.float32)
+                        for _ in range(2)),
+        scratch_shapes=[pltpu.VMEM((p, A.shape[1], A.shape[2]),
+                                   jnp.float32) for _ in range(4)]
+        + [pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def body(_, ab):
+        return call(ab[0], ab[1], A0, B0)
+
+    A, B = jax.lax.fori_loop(0, passes, body, (A, B))
+
+    # unpack
+    if yhp != yh:
+        A, B = A[:, :yh, :], B[:, :yh, :]
+    out = jnp.zeros((n_full, yp, zp), jnp.float32)
+    out = out.at[:, 0::2, :].set(jnp.where(r0, A, B))
+    out = out.at[:, 1::2, :].set(jnp.where(r0, B, A))
+    return out[:, :y_true, :z_true]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "b", "a", "c", "iters", "red_black", "tx", "fuse", "dtype"))
 def lin_solve3d_pallas(b: int, x, x0, a: float, c: float, iters: int,

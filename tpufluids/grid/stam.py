@@ -212,6 +212,10 @@ def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False):
         # small grids.
         halo = (2 if red_black else 1) * fuse
         tx = max(1, min(24, x.shape[0] - 2 * halo))
+        if red_black and cfg.solver_dtype != "bfloat16":
+            from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+            return lin_solve3d_rb_packed(b, x, x0, float(a), float(c),
+                                         iters, fuse=fuse, tx=tx)
         dtype = (jnp.bfloat16 if cfg.solver_dtype == "bfloat16"
                  else jnp.float32)
         return lin_solve3d_pallas(b, x, x0, float(a), float(c), iters,
