@@ -139,6 +139,12 @@ class SPHConfig:
     # overflow); pallas falls back to xla for subbin-parity mode and
     # merge-enabled unidyn runs (see step.sph_step).
     force_backend: str = "auto"
+    # pallas column-window capacity (home block rows / window rows).
+    # Must cover the densest (x, y) column of the sorted pool (column
+    # population overflow is counted in StepMetrics.bin_overflow and
+    # the excess particles' pairs are dropped deterministically).
+    # Multiples of 128 (lane width); raise for dense large-N scenes.
+    pallas_col_cap: int = 128
     # dense neighbor-run capacity: each of the 9 (dx,dy) stencil runs covers
     # the contiguous cells (z-1, z, z+1) and holds at most 3*max_per_cell
     # particle slots; overflow is deterministic (highest-rank dropped) and

@@ -55,7 +55,9 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
         from tpufluids.forces import ForceAccum
         from tpufluids.sph_pallas import base_forces_pallas
         n = state.capacity
-        sw, dp, kovf = base_forces_pallas(state, bt, cfg)
+        sw, dp, kovf = base_forces_pallas(state, bt, cfg,
+                                          b=cfg.pallas_col_cap,
+                                          w_cap=cfg.pallas_col_cap)
         z3 = jnp.zeros((n, 3), jnp.float32)
         z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
@@ -72,7 +74,8 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
                                       granular_pass)
         from tpufluids.sph_pallas import unidyn_forces_pallas
         n = state.capacity
-        r = unidyn_forces_pallas(state, bt, cfg)
+        r = unidyn_forces_pallas(state, bt, cfg, b=cfg.pallas_col_cap,
+                                 w_cap=cfg.pallas_col_cap)
         sig, rate = granular_pass(state, r["vel_grad"], cfg)
         split = compute_split_trigger(state, r["diffusion"],
                                       r["has_pair"], cfg)
