@@ -164,8 +164,12 @@ def project(u, v, w, cfg: stam.StamConfig, with_residual: bool = False):
     div_i = divergence(u, v, w, n)
     div = jnp.zeros((n + 2,) * 3, jnp.float32)
     div = stam.set_bnd3d(0, div.at[1:-1, 1:-1, 1:-1].set(-h * h * div_i))
-    p = stam._lin_solve3d(0, jnp.zeros_like(div), div, 1.0, 6.0,
-                          cfg.jacobi_iters, cfg, red_black=cfg.red_black)
+    if cfg.projection == "multigrid":
+        p = stam.mg_solve3d(div, cfg)
+    else:
+        p = stam._lin_solve3d(0, jnp.zeros_like(div), div, 1.0, 6.0,
+                              cfg.jacobi_iters, cfg,
+                              red_black=cfg.red_black)
     pi = p[1:-1, 1:-1, 1:-1]
     # subtract the pressure gradient on interior faces (h cancels: p
     # solved in units of h^2 * div)
