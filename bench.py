@@ -81,6 +81,28 @@ def main():
                   and jnp.isfinite(state.u).all())
     log(f"fields finite: {finite}")
 
+    # secondary: the reference's own two scenes (SPH), Pallas backend
+    sph = {}
+    try:
+        from tpufluids.config import BASE_CONFIG, UNIDYN_CONFIG
+        from tpufluids.scenes import base_dam, unidyn_tank
+        from tpufluids.step import run_python
+        for sname, scfg, scene in (("base_dam_8000p", BASE_CONFIG,
+                                    base_dam),
+                                   ("unidyn_tank_14040p", UNIDYN_CONFIG,
+                                    unidyn_tank)):
+            s = scene(scfg)
+            s, m = run_python(s, scfg, 2)
+            float(s.pos[0, 0])
+            t0 = time.perf_counter()
+            s, m = run_python(s, scfg, 30)
+            float(s.pos[0, 0])
+            sph[sname + "_ms_per_step"] = round(
+                (time.perf_counter() - t0) / 30 * 1e3, 2)
+            log(f"SPH {sname}: {sph[sname + '_ms_per_step']} ms/step")
+    except Exception as e:  # never fail the headline metric
+        log(f"SPH secondary bench skipped: {e}")
+
     print(json.dumps({
         "metric": "cell-updates/sec/chip @ 256^3 stable-fluids step "
                   "(red-black Jacobi x20, vorticity confinement, buoyancy)",
@@ -92,6 +114,7 @@ def main():
             "poisson_residual": residual,
             "grid": n,
             "finite": finite,
+            **sph,
         },
     }))
 
