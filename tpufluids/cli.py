@@ -184,7 +184,7 @@ def run_grid(args):
         s = s.replace(
             dens=s.dens.at[3 * k:5 * k, 3 * k:5 * k, 0:k].set(1.0),
             temp=s.temp.at[3 * k:5 * k, 3 * k:5 * k, 0:k].set(3.0))
-        s, residuals = mac.run3d(s, cfg, args.steps)
+        s, residuals = mac.run3d_python(s, cfg, args.steps)
         res = float(residuals[-1])
         state_leaf = s.dens
         if args.out:
@@ -214,6 +214,12 @@ def run_grid(args):
         "steps_per_sec": args.steps / dt,
         "cell_updates_per_sec": cells * args.steps / dt,
         "poisson_residual": res,
+        # the --mac residual is max |div(u)| after projection (exact
+        # face-difference divergence), NOT the collocated Poisson-system
+        # residual of the other scenes — incomparable scales
+        "residual_kind": ("mac_max_divergence"
+                          if getattr(args, "mac", False)
+                          else "poisson_system"),
     }))
 
 

@@ -160,6 +160,26 @@ def compute_split_trigger(state: ParticleState, diffusion: jax.Array,
                | (state.dens < cfg.split_dens_max)))
 
 
+def accum_from_pallas(state: ParticleState, r: dict,
+                      cfg: SPHConfig) -> ForceAccum:
+    """Assemble a full ForceAccum from the Pallas pair-pass results
+    (tpufluids.sph_pallas.unidyn_forces_pallas), running the shared
+    per-particle granular pass and split trigger.  Merge is disabled on
+    this path (step.sph_step falls back to XLA when merge_dist > 0)."""
+    n = state.capacity
+    sig, rate = granular_pass(state, r["vel_grad"], cfg)
+    split = compute_split_trigger(state, r["diffusion"], r["has_pair"],
+                                  cfg)
+    return ForceAccum(
+        sum_w=r["sum_w"], dpress=r["dpress"], diffusion=r["diffusion"],
+        vel_grad=r["vel_grad"], stress_accel=r["stress_accel"],
+        solid_drift=r["solid_drift"], fluid_drift=r["fluid_drift"],
+        mixture_accel=r["mixture_accel"], delsolid=r["delsolid"],
+        delfluid=r["delfluid"], stress_scaled=sig, stress_rate=rate,
+        split_trigger=split,
+        merge_partner=jnp.full(n, -1, jnp.int32))
+
+
 def compute_forces(state: ParticleState, bt: BinTable,
                    cfg: SPHConfig, subbin_parity: bool = False,
                    subbin_threshold: int = 6,

@@ -226,3 +226,25 @@ def run3d(state: MacState3D, cfg: stam.StamConfig, n_steps: int):
         return s, res
 
     return jax.lax.scan(body, state, None, length=n_steps)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _jitted_step3d(cfg: stam.StamConfig, with_residual: bool = False):
+    return jax.jit(lambda s: step3d(s, cfg, with_residual=with_residual))
+
+
+def run3d_python(state: MacState3D, cfg: stam.StamConfig, n_steps: int):
+    """Python-driven step loop (one jitted dispatch per step) — the
+    fast path on runtimes where Pallas custom calls inside lax.scan pay
+    a per-call host round trip (see stam.run3d_python).  Returns
+    (state, residual[-1:])."""
+    step = _jitted_step3d(cfg)
+    for i in range(max(n_steps - 1, 0)):
+        state = step(state)
+        if (i & 7) == 7:
+            float(state.dens[1, 1, 1])
+    state, res = _jitted_step3d(cfg, True)(state)
+    return state, jnp.reshape(res, (1,))

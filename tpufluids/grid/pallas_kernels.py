@@ -602,7 +602,6 @@ def _rb_face_fix(vA, vB, is_first, is_last, r0, *, p, sx, sy, sz,
     # z faces: cell (i, j, 0) <- (i, j, 1); at lane 0 phase A holds j
     # rows with offset r(i,0), the source lane 1 has flipped r, so the
     # same packed row index maps to the same j in the OTHER phase
-    a0, b0 = vA[:, :, 0:1], vB[:, :, 0:1]
     vA[:, :, 0:1] = sz * vB[:, :, 1:2]
     vB[:, :, 0:1] = sz * vA[:, :, 1:2]
     vA[:, :, z_hi:z_hi + 1] = sz * vB[:, :, z_hi - 1:z_hi]

@@ -36,7 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpufluids.binning import BinTable
-from tpufluids.config import PI_REF, SPHConfig
+from tpufluids.config import SPHConfig
+from tpufluids.kernels import grad_w_spiky, w_cubic
 from tpufluids.state import ParticleState
 
 NCOLS = 9
@@ -145,15 +146,8 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
         mask = (i_valid & j_valid & dz_ok & (ds > 0) & (ds <= 2 * h))
         ds_safe = jnp.where(ds > 0, ds, 1.0)
 
-        # cubic-spline W (FluidGPU.cu:11-21)
-        q = ds / h
-        w_in = 1.0 - 1.5 * q * q + 0.75 * q * q * q
-        w_out = 0.25 * (2.0 - q) ** 3
-        wker = jnp.where(q <= 1.0, w_in,
-                         jnp.where(q < 2.0, w_out, 0.0)) / (PI_REF * h ** 3)
-        # spiky gradient (FluidGPU.cu:35-43)
-        dw = jnp.where(ds < h,
-                       -45.0 / (PI_REF * h ** 6) * (h - ds) ** 2, 0.0)
+        wker = w_cubic(ds, h)                # FluidGPU.cu:11-21
+        dw = grad_w_spiky(ds, h)             # FluidGPU.cu:35-43
 
         vabx = vi_x - jcol(_V)
         vaby = vi_y - jcol(_V + 1)
@@ -259,8 +253,10 @@ _B_MA, _B_DSOL, _B_DFLU = 0, 3, 4
 _B_ROWS = 5
 
 
-def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, b: int,
-                 sdv=None, fdv=None):
+def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, b: int):
+    """Pack the unidyn field set into (n + b, F) rows; pass B splices
+    the drift-velocity columns into this buffer afterwards (see
+    unidyn_forces_pallas)."""
     n = sorted_state.capacity
     s = sorted_state
     packed = jnp.zeros((n + b, F), jnp.float32)
@@ -276,13 +272,10 @@ def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, b: int,
     packed = packed.at[:n, _FLUID].set(s.fluid)
     packed = packed.at[:n, _DP:_DP + 3].set(s.delpress)
     packed = packed.at[:n, _SIG:_SIG + 9].set(s.stress.reshape(n, 9))
-    if sdv is not None:
-        packed = packed.at[:n, _SDV:_SDV + 3].set(sdv)
-        packed = packed.at[:n, _FDV:_FDV + 3].set(fdv)
     return packed
 
 
-def _unidyn_prologue(col_start, packed_hbm, home, sems, t, b, cfg):
+def _unidyn_prologue(col_start, packed_hbm, home, sems, t, b):
     h_start = col_start[t]
     cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
                                sems.at[2])
@@ -314,7 +307,7 @@ def _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg):
     vaby = irow(_V + 1) - jcol(_V + 1)
     vabz = irow(_V + 2) - jcol(_V + 2)
     d = vabx * rabx + vaby * raby + vabz * rabz
-    dw = jnp.where(ds < h, -45.0 / (PI_REF * h ** 6) * (h - ds) ** 2, 0.0)
+    dw = grad_w_spiky(ds, h)                 # FluidGPU.cu:35-43
     return dict(rab=(rabx, raby, rabz), vab=(vabx, vaby, vabz),
                 ds=ds, ds2=ds2, ds_safe=ds_safe, d=d, mask=mask,
                 dkf=dw / ds_safe, irow=irow, jcol=jcol)
@@ -329,7 +322,7 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
 
     @pl.when(h_count > 0)
     def _():
-        hmT = _unidyn_prologue(col_start, packed_hbm, home, sems, t, b, cfg)
+        hmT = _unidyn_prologue(col_start, packed_hbm, home, sems, t, b)
 
         def irow(c):
             return hmT[c, :][None, :]
@@ -374,12 +367,7 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
             dj, pj = jcol(_DENS), jcol(_PRESS)
             sj, fj = jcol(_SOLID), jcol(_FLUID)
 
-            # cubic W
-            q = ds / h
-            w_in = 1.0 - 1.5 * q * q + 0.75 * q * q * q
-            w_out = 0.25 * (2.0 - q) ** 3
-            wker = jnp.where(q <= 1.0, w_in, jnp.where(q < 2.0, w_out, 0.0)
-                             ) / (PI_REF * h ** 3)
+            wker = w_cubic(ds, h)            # FluidGPU.cu:11-21
 
             # unidyn viscosity (FluidGPU-unidyn.cu:307)
             mu = h * (d / (ds2 + 0.01 * h * h))
@@ -462,7 +450,7 @@ def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win2, sems, *,
 
     @pl.when(h_count > 0)
     def _():
-        hmT = _unidyn_prologue(col_start, packed_hbm, home, sems, t, b, cfg)
+        hmT = _unidyn_prologue(col_start, packed_hbm, home, sems, t, b)
 
         def irow(c):
             return hmT[c, :][None, :]

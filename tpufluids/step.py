@@ -70,23 +70,11 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
             merge_partner=jnp.full(n, -1, jnp.int32))
         bt = bt._replace(overflow=bt.overflow + kovf)
     elif use_pallas:
-        from tpufluids.forces import (ForceAccum, compute_split_trigger,
-                                      granular_pass)
+        from tpufluids.forces import accum_from_pallas
         from tpufluids.sph_pallas import unidyn_forces_pallas
-        n = state.capacity
         r = unidyn_forces_pallas(state, bt, cfg, b=cfg.pallas_col_cap,
                                  w_cap=cfg.pallas_col_cap)
-        sig, rate = granular_pass(state, r["vel_grad"], cfg)
-        split = compute_split_trigger(state, r["diffusion"],
-                                      r["has_pair"], cfg)
-        acc = ForceAccum(
-            sum_w=r["sum_w"], dpress=r["dpress"], diffusion=r["diffusion"],
-            vel_grad=r["vel_grad"], stress_accel=r["stress_accel"],
-            solid_drift=r["solid_drift"], fluid_drift=r["fluid_drift"],
-            mixture_accel=r["mixture_accel"], delsolid=r["delsolid"],
-            delfluid=r["delfluid"], stress_scaled=sig, stress_rate=rate,
-            split_trigger=split,
-            merge_partner=jnp.full(n, -1, jnp.int32))
+        acc = accum_from_pallas(state, r, cfg)
         bt = bt._replace(overflow=bt.overflow + r["overflow"])
     else:
         acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity)
@@ -144,12 +132,40 @@ def run_python(state: ParticleState, cfg: SPHConfig, n_steps: int,
     return state, metrics
 
 
+def _resolved_backend(cfg: SPHConfig) -> str:
+    if cfg.force_backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return cfg.force_backend
+
+
 def run(state: ParticleState, cfg: SPHConfig, n_steps: int,
         snapshot_every: int = 0, snapshot_fn=None,
         subbin_parity: bool = False):
     """Drive the simulation; host callbacks only at snapshot cadence
     (replacing the per-step device sync of the reference,
-    solver.cu:189-197)."""
+    solver.cu:189-197).
+
+    With the Pallas force backend active, steps are dispatched one
+    jitted call at a time (run_python style) instead of under
+    ``lax.scan`` — on runtimes where custom calls inside scan pay a
+    per-call host round trip (the axon TPU tunnel, ~25 ms each) the
+    scan formulation would erase the kernel speedup."""
+    if _resolved_backend(cfg) == "pallas" and not subbin_parity:
+        import numpy as _np
+        all_m = []
+        for i in range(n_steps):
+            state, m = _jitted_sph_step(state, cfg, subbin_parity)
+            all_m.append(m)
+            if (i & 7) == 7:
+                float(state.pos[0, 0])
+            if (snapshot_fn is not None and snapshot_every > 0
+                    and (i + 1) % snapshot_every == 0):
+                snapshot_fn(i + 1, jax.device_get(state))
+        all_m = jax.device_get(all_m)
+        metrics = jax.tree_util.tree_map(
+            lambda *xs: jnp.asarray(_np.stack(xs)), *all_m)
+        return state, metrics
+
     chunk = snapshot_every if snapshot_every > 0 else n_steps
     all_metrics = []
     step = 0
