@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def timeit(name, fn, *args, reps=30):
     out = fn(*args)
@@ -51,6 +54,56 @@ def main():
     dt = 0.5 / n
     h = 1.0 / n
 
+    only = [a.split("=")[1] for a in sys.argv[1:]
+            if a.startswith("--only=")]
+    pairs = [a.split("=")[1] for a in sys.argv[1:]
+             if a.startswith("--pairs=")]
+    if pairs:
+        for spec in pairs[0].split(","):
+            parts = spec.split(":")
+            tx, fuse = int(parts[0]), int(parts[1])
+            pipe = len(parts) > 2 and parts[2] == "p"
+            try:
+                timeit(f"rb_packed 20 iters (tx={tx}, fuse={fuse}, "
+                       f"pipe={pipe})",
+                       lambda tx=tx, fuse=fuse, pipe=pipe:
+                       pk.lin_solve3d_rb_packed(
+                           0, x, x0, 1.0, 6.0, 20, tx=tx, fuse=fuse,
+                           pipeline=pipe),
+                       reps=reps)
+            except Exception as e:
+                print(f"  tx={tx} fuse={fuse}: {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+        return
+
+    if only and "advect" in only:
+        for tx in (4, 8, 16, 32):
+            try:
+                timeit(f"advect3d_multi uvw (tx={tx})",
+                       lambda tx=tx: pk.advect3d_multi_pallas(
+                           (u, v, w), (1, 2, 3), u, v, w, dt * n, tx=tx),
+                       reps=reps)
+            except Exception as e:
+                print(f"  advect tx={tx}: {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+        return
+
+    if only and "solver" in only:
+        for tx in (16, 24):
+            for fuse in (1, 2, 4, 5):
+                if 20 % fuse:
+                    continue
+                try:
+                    timeit(f"rb_packed 20 iters (tx={tx}, fuse={fuse})",
+                           lambda tx=tx, fuse=fuse:
+                           pk.lin_solve3d_rb_packed(
+                               0, x, x0, 1.0, 6.0, 20, tx=tx, fuse=fuse),
+                           reps=reps)
+                except Exception as e:
+                    print(f"  tx={tx} fuse={fuse}: {type(e).__name__}: "
+                          f"{str(e)[:120]}", flush=True)
+        return
+
     timeit("forcing3d_pallas (tx=16)",
            lambda: pk.forcing3d_pallas(u, v, w, d, t_, dt, h, 2.0, 0.05,
                                        0.5, 0.0, tx=16), reps=reps)
@@ -64,18 +117,6 @@ def main():
     timeit("advect3d_multi (dens+temp, tx=4)",
            lambda: pk.advect3d_multi_pallas((d, t_), (0, 0), u, v, w,
                                             dt * n, tx=4), reps=reps)
-    for tx in (16, 24):
-        for fuse in (1, 2, 4, 5):
-            if 20 % fuse:
-                continue
-            try:
-                timeit(f"rb_packed 20 iters (tx={tx}, fuse={fuse})",
-                       lambda tx=tx, fuse=fuse: pk.lin_solve3d_rb_packed(
-                           0, x, x0, 1.0, 6.0, 20, tx=tx, fuse=fuse),
-                       reps=reps)
-            except Exception as e:
-                print(f"  tx={tx} fuse={fuse}: {type(e).__name__}: "
-                      f"{str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":
