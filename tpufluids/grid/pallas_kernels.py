@@ -130,82 +130,184 @@ def _bnd_scales(b):
 
 
 # ---------------------------------------------------------------------------
+# shared double-buffered x-window streaming
+#
+# Every kernel in this file sweeps x-plane tiles with a halo window.
+# Issued start/wait back-to-back, the window DMAs serialize with the
+# compute; for the cheap kernels (divergence, gradient) the per-tile
+# DMA round trips dominate.  This helper runs the standard two-slot
+# pipeline: program t awaits windows prefetched by t-1, prefetches
+# t+1's into the alternate slot, computes in place, and streams the
+# tile span back to HBM (awaited by t+1 before slot reuse).
+
+
+def _stream_tiles(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
+                  n_full, tx, halo, compute, pipeline=True):
+    """Double-buffered x-window pipeline over ``grid=(num_tiles,)``.
+
+    ``in_hbm``: input HBM refs sharing (n_full, Y, Z) geometry, copied
+    as windows of ``p = tx + 2*halo`` planes into ``vbuf`` slot arrays.
+    ``out_pairs``: (buffer_index, out_hbm_ref) written back from the
+    buffer's valid tile span after compute.  ``compute(refs, wlo)``
+    mutates the slot's buffer refs in place.  Overlapping write spans
+    of the clamped last tile carry identical values (both tiles compute
+    their full valid cone), so racing output DMAs are benign.
+
+    ``pipeline=False`` runs a single-slot serial load/compute/store
+    cycle — for compute bodies whose register-spill footprint scales
+    with the window (e.g. 27-tap advection), where the second slot
+    would push the program past the VMEM limit."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    n_in = len(in_hbm)
+    p = tx + 2 * halo
+
+    def tile_lo(tt):
+        return jnp.minimum(tt * tx, n_full - tx)
+
+    def tile_wlo(tt):
+        return jnp.clip(tile_lo(tt) - halo, 0, n_full - p)
+
+    def in_copies(tt, slot):
+        w = tile_wlo(tt)
+        return [pltpu.make_async_copy(src.at[pl.ds(w, p)],
+                                      vbuf.at[slot, i], in_sems.at[slot, i])
+                for i, src in enumerate(in_hbm)]
+
+    def out_copies(tt, slot):
+        lo = tile_lo(tt)
+        w = tile_wlo(tt)
+        return [pltpu.make_async_copy(vbuf.at[slot, i, pl.ds(lo - w, tx)],
+                                      dst.at[pl.ds(lo, tx)],
+                                      out_sems.at[slot, j])
+                for j, (i, dst) in enumerate(out_pairs)]
+
+    if not pipeline:
+        for cp in in_copies(t, 0):
+            cp.start()
+        for cp in in_copies(t, 0):
+            cp.wait()
+        compute([vbuf.at[0, i] for i in range(n_in)], tile_wlo(t))
+        for cp in out_copies(t, 0):
+            cp.start()
+        for cp in out_copies(t, 0):
+            cp.wait()
+        return
+
+    s = jax.lax.rem(t, 2)
+    s2 = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t == 0)
+    def _():
+        for cp in in_copies(0, 0):
+            cp.start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        @pl.when(t > 0)
+        def _():
+            for cp in out_copies(t - 1, s2):
+                cp.wait()
+        for cp in in_copies(t + 1, s2):
+            cp.start()
+
+    for cp in in_copies(t, s):
+        cp.wait()
+
+    compute([vbuf.at[s, i] for i in range(n_in)], tile_wlo(t))
+
+    for cp in out_copies(t, s):
+        cp.start()
+
+    @pl.when(t == nt - 1)
+    def _():
+        @pl.when(t > 0)
+        def _():
+            for cp in out_copies(t - 1, s2):
+                cp.wait()
+        for cp in out_copies(t, s):
+            cp.wait()
+
+
+def _stream_scratch(n_in, n_out, p, y, z, dtype=jnp.float32, slots=2):
+    return [pltpu.VMEM((slots, n_in, p, y, z), dtype),
+            pltpu.SemaphoreType.DMA((slots, n_in)),
+            pltpu.SemaphoreType.DMA((slots, max(n_out, 1)))]
+
+
+def _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, *, slots=2,
+            dtype_size=4, budget=64 * 1024 * 1024):
+    """Largest tile size <= tx_want whose double-buffered windows fit
+    the scratch budget (large grids fall back to thin tiles: the plane
+    footprint yp*zp grows quadratically with n).  ``budget`` covers the
+    window buffers only — it must leave VMEM headroom for the compute
+    body's temporaries (register spills scale with the window size)."""
+    plane = yp * zp * dtype_size
+    max_p = budget // (slots * n_bufs * plane)
+    return max(1, min(tx_want, max_p - 2 * halo, n_full - 2 * halo))
+
+
+# ---------------------------------------------------------------------------
 # fused buoyancy + vorticity-confinement forcing
 
 
 def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
-                  vu, vv, vw, vd, vt, sems, *, n_full, y_hi, z_hi, tx,
+                  vbuf, in_sems, out_sems, *, n_full, y_hi, z_hi, tx,
                   dt, h, eps, b_alpha, b_beta, t_amb):
-    halo = 2
-    t = pl.program_id(0)
-    p = tx + 2 * halo
-    lo = jnp.minimum(t * tx, n_full - tx)
-    wlo = jnp.clip(lo - halo, 0, n_full - p)
+    def compute(refs, wlo):
+        vu, vv, vw, vd, vt = refs
+        shape = vu.shape
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                    & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+        p_ = shape[0]
+        is_first = wlo == 0
+        is_last = wlo == n_full - p_
 
-    cps = []
-    for i, (src, dst) in enumerate(((u_hbm, vu), (v_hbm, vv), (w_hbm, vw),
-                                    (d_hbm, vd), (t_hbm, vt))):
-        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dst, sems.at[i])
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
+        def bnd_ref(ref, b):
+            sx, sy, sz = _bnd_scales(b)
+            _face_fix_ref(ref, is_first, is_last, p=p_, sx=sx, sy=sy,
+                          sz=sz, y_hi=y_hi, z_hi=z_hi)
 
-    shape = vu.shape
-    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
-    p_ = vu.shape[0]
-    is_first = wlo == 0
-    is_last = wlo == n_full - p_
+        if b_alpha or b_beta:
+            # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
+            f = -b_alpha * vd[...] + b_beta * (vt[...] - t_amb)
+            vw[...] = jnp.where(interior, vw[...] + dt * f, vw[...])
+            bnd_ref(vw, 3)
 
-    def bnd_ref(ref, b):
-        sx, sy, sz = _bnd_scales(b)
-        _face_fix_ref(ref, is_first, is_last, p=p_, sx=sx, sy=sy, sz=sz,
-                      y_hi=y_hi, z_hi=z_hi)
+        if eps:
+            inv2h = 0.5 / h
+            u, v, w = vu[...], vv[...], vw[...]
 
-    if b_alpha or b_beta:
-        # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
-        f = -b_alpha * vd[...] + b_beta * (vt[...] - t_amb)
-        vw[...] = jnp.where(interior, vw[...] + dt * f, vw[...])
-        bnd_ref(vw, 3)
+            def d_axis(q, axis):
+                return (_shift(q, 1, axis) - _shift(q, -1, axis)) * inv2h
 
-    if eps:
-        inv2h = 0.5 / h
-        u, v, w = vu[...], vv[...], vw[...]
+            cx = d_axis(w, 1) - d_axis(v, 2)
+            cy = d_axis(u, 2) - d_axis(w, 0)
+            cz = d_axis(v, 0) - d_axis(u, 1)
+            mag = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+            mag = jnp.where(interior, mag, 0.0)
+            gx = d_axis(mag, 0)
+            gy = d_axis(mag, 1)
+            gz = d_axis(mag, 2)
+            norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
+            gx, gy, gz = gx / norm, gy / norm, gz / norm
+            eps_h = eps * h
+            vu[...] = jnp.where(interior,
+                                u + dt * eps_h * (gy * cz - gz * cy), u)
+            vv[...] = jnp.where(interior,
+                                v + dt * eps_h * (gz * cx - gx * cz), v)
+            vw[...] = jnp.where(interior,
+                                w + dt * eps_h * (gx * cy - gy * cx), w)
+            bnd_ref(vu, 1)
+            bnd_ref(vv, 2)
+            bnd_ref(vw, 3)
 
-        def d_axis(q, axis):
-            return (_shift(q, 1, axis) - _shift(q, -1, axis)) * inv2h
-
-        cx = d_axis(w, 1) - d_axis(v, 2)
-        cy = d_axis(u, 2) - d_axis(w, 0)
-        cz = d_axis(v, 0) - d_axis(u, 1)
-        mag = jnp.sqrt(cx * cx + cy * cy + cz * cz)
-        mag = jnp.where(interior, mag, 0.0)
-        gx = d_axis(mag, 0)
-        gy = d_axis(mag, 1)
-        gz = d_axis(mag, 2)
-        norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
-        gx, gy, gz = gx / norm, gy / norm, gz / norm
-        eps_h = eps * h
-        vu[...] = jnp.where(interior,
-                            u + dt * eps_h * (gy * cz - gz * cy), u)
-        vv[...] = jnp.where(interior,
-                            v + dt * eps_h * (gz * cx - gx * cz), v)
-        vw[...] = jnp.where(interior,
-                            w + dt * eps_h * (gx * cy - gy * cx), w)
-        bnd_ref(vu, 1)
-        bnd_ref(vv, 2)
-        bnd_ref(vw, 3)
-
-    wcps = []
-    for ref, out in ((vu, uo), (vv, vo), (vw, wo)):
-        cp = pltpu.make_async_copy(ref.at[pl.ds(lo - wlo, tx)],
-                                   out.at[pl.ds(lo, tx)], sems.at[0])
-        cp.start()
-        cp.wait()
+    _stream_tiles((u_hbm, v_hbm, w_hbm, d_hbm, t_hbm),
+                  ((0, uo), (1, vo), (2, wo)), vbuf, in_sems, out_sems,
+                  n_full=n_full, tx=tx, halo=2, compute=compute)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -225,6 +327,7 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
             if padded else a
 
     ins = [pad(a) for a in (u, v, w, dens, temp)]
+    tx = _fit_tx(tx, 5, 2, n_full, yp, zp, budget=50 * 1024 * 1024)
     p = tx + 4
     kern = functools.partial(
         _force_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1,
@@ -237,9 +340,8 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
         out_shape=tuple(jax.ShapeDtypeStruct(ins[0].shape, jnp.float32)
                         for _ in range(3)),
-        scratch_shapes=[pltpu.VMEM((p, ins[0].shape[1], ins[0].shape[2]),
-                                   jnp.float32) for _ in range(5)]
-        + [pltpu.SemaphoreType.DMA((5,))],
+        scratch_shapes=_stream_scratch(5, 3, p, ins[0].shape[1],
+                                       ins[0].shape[2]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
@@ -254,44 +356,34 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
 # .at[].set/.add and the set_bnd face writes each materialize a copy)
 
 
-def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vu, vv, vw, sems, *,
+def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
                 n_full, y_hi, z_hi, tx, h):
-    t = pl.program_id(0)
     p = tx + 2
-    lo = jnp.minimum(t * tx, n_full - tx)
-    wlo = jnp.clip(lo - 1, 0, n_full - p)
 
-    cps = []
-    for i, (src, dst) in enumerate(((u_hbm, vu), (v_hbm, vv),
-                                    (w_hbm, vw))):
-        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dst, sems.at[i])
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
+    def compute(refs, wlo):
+        vu, vv, vw = refs
+        shape = vu.shape
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                    & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
 
-    shape = vu.shape
-    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+        u, v, w = vu[...], vv[...], vw[...]
+        # same association order as stam.divergence3d (bit-compatible)
+        s = (_shift(u, 1, 0) - _shift(u, -1, 0) + _shift(v, 1, 1)
+             - _shift(v, -1, 1) + _shift(w, 1, 2) - _shift(w, -1, 2))
+        vu[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
+        _face_fix_ref(vu, wlo == 0, wlo == n_full - p, p=p, sx=1.0,
+                      sy=1.0, sz=1.0, y_hi=y_hi, z_hi=z_hi)
 
-    u, v, w = vu[...], vv[...], vw[...]
-    # same association order as stam.divergence3d (bit-compatible)
-    s = (_shift(u, 1, 0) - _shift(u, -1, 0) + _shift(v, 1, 1)
-         - _shift(v, -1, 1) + _shift(w, 1, 2) - _shift(w, -1, 2))
-    vu[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
-    _face_fix_ref(vu, wlo == 0, wlo == n_full - p, p=p, sx=1.0, sy=1.0,
-                  sz=1.0, y_hi=y_hi, z_hi=z_hi)
-    cp = pltpu.make_async_copy(vu.at[pl.ds(lo - wlo, tx)],
-                               out_hbm.at[pl.ds(lo, tx)], sems.at[0])
-    cp.start()
-    cp.wait()
+    _stream_tiles((u_hbm, v_hbm, w_hbm), ((0, out_hbm),), vbuf,
+                  in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
+                  compute=compute)
 
 
 @functools.partial(jax.jit, static_argnames=("tx",))
-def div3d_pallas(u, v, w, tx: int = 8):
+def div3d_pallas(u, v, w, tx: int = 32):
     """Fused ``set_bnd3d(0, zeros.at[1:-1,...].set(divergence3d(u,v,w)))``
     — one HBM pass instead of ~6 full-array copies."""
     n_full, y_true, z_true = u.shape
@@ -305,6 +397,8 @@ def div3d_pallas(u, v, w, tx: int = 8):
             if padded else a
 
     ins = [pad(a) for a in (u, v, w)]
+    tx = _fit_tx(tx, 3, 1, n_full, yp, zp,
+                 budget=70 * 1024 * 1024)
     p = tx + 2
     kern = functools.partial(_div_kernel, n_full=n_full, y_hi=y_true - 1,
                              z_hi=z_true - 1, tx=tx, h=h)
@@ -314,11 +408,10 @@ def div3d_pallas(u, v, w, tx: int = 8):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(ins[0].shape, jnp.float32),
-        scratch_shapes=[pltpu.VMEM((p, ins[0].shape[1], ins[0].shape[2]),
-                                   jnp.float32) for _ in range(3)]
-        + [pltpu.SemaphoreType.DMA((3,))],
+        scratch_shapes=_stream_scratch(3, 1, p, ins[0].shape[1],
+                                       ins[0].shape[2]),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
     if padded:
         out = out[:, :y_true, :z_true]
@@ -326,52 +419,38 @@ def div3d_pallas(u, v, w, tx: int = 8):
 
 
 def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
-                    vp, vu, vv, vw, sems, *, n_full, y_hi, z_hi, tx, h):
-    t = pl.program_id(0)
+                    vbuf, in_sems, out_sems, *, n_full, y_hi, z_hi, tx, h):
     p = tx + 2
-    lo = jnp.minimum(t * tx, n_full - tx)
-    wlo = jnp.clip(lo - 1, 0, n_full - p)
 
-    cps = []
-    for i, (src, dst) in enumerate(((p_hbm, vp), (u_hbm, vu),
-                                    (v_hbm, vv), (w_hbm, vw))):
-        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dst, sems.at[i])
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
+    def compute(refs, wlo):
+        vp, vu, vv, vw = refs
+        shape = vp.shape
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                    & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+        is_first = wlo == 0
+        is_last = wlo == n_full - p
+        pr = vp[...]
+        for axis, ref, b in ((0, vu, 1), (1, vv, 2), (2, vw, 3)):
+            # same op order as the dense path (bit-compatible):
+            # -0.5 * (p[i+1] - p[i-1]) / h
+            g_ = (jnp.float32(-0.5)
+                  * (_shift(pr, 1, axis) - _shift(pr, -1, axis))
+                  / jnp.float32(h))
+            ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
+            sx, sy, sz = _bnd_scales(b)
+            _face_fix_ref(ref, is_first, is_last, p=p, sx=sx, sy=sy,
+                          sz=sz, y_hi=y_hi, z_hi=z_hi)
 
-    shape = vp.shape
-    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
-    is_first = wlo == 0
-    is_last = wlo == n_full - p
-    pr = vp[...]
-    for axis, ref, b in ((0, vu, 1), (1, vv, 2), (2, vw, 3)):
-        # same op order as the dense path (bit-compatible):
-        # -0.5 * (p[i+1] - p[i-1]) / h
-        g_ = (jnp.float32(-0.5)
-              * (_shift(pr, 1, axis) - _shift(pr, -1, axis))
-              / jnp.float32(h))
-        ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
-        sx, sy, sz = _bnd_scales(b)
-        _face_fix_ref(ref, is_first, is_last, p=p, sx=sx, sy=sy, sz=sz,
-                      y_hi=y_hi, z_hi=z_hi)
-    wcps = []
-    for i, (ref, out) in enumerate(((vu, uo), (vv, vo), (vw, wo))):
-        cp = pltpu.make_async_copy(ref.at[pl.ds(lo - wlo, tx)],
-                                   out.at[pl.ds(lo, tx)], sems.at[i])
-        cp.start()
-        wcps.append(cp)
-    for cp in wcps:
-        cp.wait()
+    _stream_tiles((p_hbm, u_hbm, v_hbm, w_hbm),
+                  ((1, uo), (2, vo), (3, wo)), vbuf, in_sems, out_sems,
+                  n_full=n_full, tx=tx, halo=1, compute=compute)
 
 
 @functools.partial(jax.jit, static_argnames=("tx",))
-def gradsub3d_pallas(p_arr, u, v, w, tx: int = 8):
+def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24):
     """Fused pressure-gradient subtraction + per-component set_bnd
     (the tail of stam.project3d), one HBM pass."""
     n_full, y_true, z_true = u.shape
@@ -385,6 +464,7 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 8):
             if padded else a
 
     ins = [pad(a) for a in (p_arr, u, v, w)]
+    tx = _fit_tx(tx, 4, 1, n_full, yp, zp, budget=60 * 1024 * 1024)
     pw = tx + 2
     kern = functools.partial(_gradsub_kernel, n_full=n_full,
                              y_hi=y_true - 1, z_hi=z_true - 1, tx=tx, h=h)
@@ -395,11 +475,10 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 8):
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
         out_shape=tuple(jax.ShapeDtypeStruct(ins[0].shape, jnp.float32)
                         for _ in range(3)),
-        scratch_shapes=[pltpu.VMEM((pw, ins[0].shape[1], ins[0].shape[2]),
-                                   jnp.float32) for _ in range(4)]
-        + [pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=_stream_scratch(4, 3, pw, ins[0].shape[1],
+                                       ins[0].shape[2]),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
     if padded:
         outs = tuple(o[:, :y_true, :z_true] for o in outs)
@@ -412,91 +491,82 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 8):
 
 def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
                    dt0, bnds):
-    """rest = (field_hbm... , out_hbm..., vu, vv, vw, vf..., sems).
+    """rest = (field_hbm..., out_hbm..., vbuf, in_sems, out_sems).
     Advect k fields by (u,v,w) with one shared set of backtrace weights
     (the XLA path recomputes them per field)."""
     k = len(bnds)
     f_hbm = rest[:k]
     o_hbm = rest[k:2 * k]
-    vu, vv, vw = rest[2 * k:2 * k + 3]
-    vf = rest[2 * k + 3:3 * k + 3]
-    sems = rest[3 * k + 3]
-
-    t = pl.program_id(0)
+    vbuf, in_sems, out_sems = rest[2 * k:2 * k + 3]
     p = tx + 2
-    lo = jnp.minimum(t * tx, n_full - tx)
-    wlo = jnp.clip(lo - 1, 0, n_full - p)
 
-    cps = []
-    for i, (src, dst) in enumerate(
-            [(u_hbm, vu), (v_hbm, vv), (w_hbm, vw)]
-            + list(zip(f_hbm, vf))):
-        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dst, sems.at[i])
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
+    def compute(refs, wlo):
+        vu, vv, vw = refs[:3]
+        vf = refs[3:]
+        shape = vu.shape
+        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        gif = gi.astype(jnp.float32)
+        jjf = jj.astype(jnp.float32)
+        kkf = kk.astype(jnp.float32)
 
-    shape = vu.shape
-    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    gif = gi.astype(jnp.float32)
-    jjf = jj.astype(jnp.float32)
-    kkf = kk.astype(jnp.float32)
-    n = jnp.float32(n_full - 2)
+        def offs(vel, coord, extent):
+            o = jnp.clip(-dt0 * vel, -1.0, 1.0)
+            # per-cell source clamp to [0.5, n_axis + 0.5] where n_axis
+            # = extent - 2 interior cells, matching the dense stencil
+            # advection
+            return jnp.clip(o, 0.5 - coord, extent - 1.5 - coord)
 
-    def offs(vel, coord, extent):
-        o = jnp.clip(-dt0 * vel, -1.0, 1.0)
-        # per-cell source clamp to [0.5, n_axis + 0.5] where n_axis =
-        # extent - 2 interior cells, matching the dense stencil advection
-        return jnp.clip(o, 0.5 - coord, extent - 1.5 - coord)
+        ox = offs(vu[...], gif, jnp.float32(n_full))
+        oy = offs(vv[...], jjf, jnp.float32(y_hi + 1))
+        oz = offs(vw[...], kkf, jnp.float32(z_hi + 1))
 
-    ox = offs(vu[...], gif, jnp.float32(n_full))
-    oy = offs(vv[...], jjf, jnp.float32(y_hi + 1))
-    oz = offs(vw[...], kkf, jnp.float32(z_hi + 1))
+        def hat(o, d):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(o - d))
 
-    def hat(o, d):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(o - d))
+        outs = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
+        fields = [r[...] for r in vf]
+        for dx in (-1, 0, 1):
+            wx = hat(ox, dx)
+            fx = [_shift(f, dx, 0) for f in fields]
+            for dy in (-1, 0, 1):
+                wxy = wx * hat(oy, dy)
+                fxy = [_shift(f, dy, 1) for f in fx]
+                for dz in (-1, 0, 1):
+                    wgt = wxy * hat(oz, dz)
+                    for q in range(k):
+                        outs[q] = outs[q] + wgt * _shift(fxy[q], dz, 2)
 
-    outs = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
-    fields = [r[...] for r in vf]
-    for dx in (-1, 0, 1):
-        wx = hat(ox, dx)
-        fx = [_shift(f, dx, 0) for f in fields]
-        for dy in (-1, 0, 1):
-            wxy = wx * hat(oy, dy)
-            fxy = [_shift(f, dy, 1) for f in fx]
-            for dz in (-1, 0, 1):
-                wgt = wxy * hat(oz, dz)
-                for q in range(k):
-                    outs[q] = outs[q] + wgt * _shift(fxy[q], dz, 2)
+        interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                    & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+        is_first = wlo == 0
+        is_last = wlo == n_full - p
+        for q in range(k):
+            sx, sy, sz = _bnd_scales(bnds[q])
+            vf[q][...] = jnp.where(interior, outs[q], fields[q])
+            _face_fix_ref(vf[q], is_first, is_last, p=p, sx=sx, sy=sy,
+                          sz=sz, y_hi=y_hi, z_hi=z_hi)
 
-    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
-    is_first = wlo == 0
-    is_last = wlo == n_full - p
-    wcps = []
-    for q in range(k):
-        sx, sy, sz = _bnd_scales(bnds[q])
-        vf[q][...] = jnp.where(interior, outs[q], fields[q])
-        _face_fix_ref(vf[q], is_first, is_last, p=p, sx=sx, sy=sy,
-                      sz=sz, y_hi=y_hi, z_hi=z_hi)
-        cp = pltpu.make_async_copy(vf[q].at[pl.ds(lo - wlo, tx)],
-                                   o_hbm[q].at[pl.ds(lo, tx)], sems.at[q])
-        cp.start()
-        wcps.append(cp)
-    for cp in wcps:
-        cp.wait()
+    _stream_tiles((u_hbm, v_hbm, w_hbm) + tuple(f_hbm),
+                  tuple((3 + q, o_hbm[q]) for q in range(k)),
+                  vbuf, in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
+                  compute=compute, pipeline=False)
 
 
 @functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx"))
-def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float, tx: int = 8):
+def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
+                          tx: int = 4):
     """Fused 27-tap stencil advection of ``fields`` (tuple) by (u,v,w).
 
     Equivalent to calling stam.advect3d_stencil per field, but the
     backtrace weights are computed once and all fields stream through
     VMEM together.
+
+    Runs the single-slot (unpipelined) streaming layout: the 27-tap
+    compute body's register spills scale with the window, so a second
+    window slot pushes the program past the 128M VMEM limit (measured
+    214M at 256^3 with tx=8 double-buffered).
     """
     k = len(fields)
     assert len(bnds) == k
@@ -511,9 +581,10 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float, tx: int = 8):
 
     u_, v_, w_ = pad(u), pad(v), pad(w)
     fs = [pad(f) for f in fields]
+    tx = _fit_tx(tx, 3 + k, 1, n_full, yp, zp, slots=1,
+                 budget=30 * 1024 * 1024)
     p = tx + 2
     grid = (pl.cdiv(n_full, tx),)
-    vmem = lambda: pltpu.VMEM((p, yp, zp), jnp.float32)  # noqa: E731
 
     kern = functools.partial(
         _advect_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1,
@@ -525,8 +596,7 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float, tx: int = 8):
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * k),
         out_shape=tuple(
             jax.ShapeDtypeStruct(u_.shape, jnp.float32) for _ in range(k)),
-        scratch_shapes=[vmem() for _ in range(3 + k)]
-        + [pltpu.SemaphoreType.DMA((3 + k,))],
+        scratch_shapes=_stream_scratch(3 + k, k, p, yp, zp, slots=1),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(u_, v_, w_, *fs)
@@ -673,90 +743,65 @@ def _solve_rb_packed_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
         cp.wait()
 
 
+def rb_packed_plan(shape, iters):
+    """Pick (tx, fuse, pipeline) for lin_solve3d_rb_packed on ``shape``.
+
+    Prefers the deepest fuse dividing ``iters`` whose double-buffered
+    windows keep a useful tile size under the VMEM budget (measured
+    best at 256^3: tx=32, fuse=4, pipelined), degrading to shallower
+    fuse and finally to the unpipelined single-buffer layout for grids
+    with very large y*z planes (e.g. 512^3)."""
+    n_full, y_true, z_true = shape
+    yp = -(-y_true // 8) * 8
+    yhp = -(-(yp // 2) // 8) * 8
+    zp = -(-z_true // 128) * 128
+    for fuse in (4, 2, 1):
+        if iters % fuse:
+            continue
+        halo = 2 * fuse
+        tx = _fit_tx(24, 4, halo, n_full, yhp, zp,
+                     budget=70 * 1024 * 1024)
+        if tx >= 8:
+            return tx, fuse, True
+    for fuse in (2, 1):
+        if iters % fuse:
+            continue
+        halo = 2 * fuse
+        tx = _fit_tx(24, 4, halo, n_full, yhp, zp, slots=1,
+                     budget=70 * 1024 * 1024)
+        if tx >= 1:
+            return tx, fuse, False
+    return 1, 1, False
+
+
 def _solve_rb_packed_pipe_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
                                  oB_hbm, vbuf, in_sems, out_sems, *,
                                  a, c_inv, sx, sy, sz, n_full, y_hi,
                                  z_hi, tx, halo, n_sweeps):
     """Double-buffered variant of _solve_rb_packed_kernel: program t
-    prefetches tile t+1's windows (started here, awaited by program
-    t+1 — scratch and semaphores persist across sequential grid steps)
-    so the window DMA overlaps the sweep compute of the current tile.
-
-    ``vbuf`` is (2 slots, 4 arrays: A,B,A0,B0, p, yh, zp)."""
-    t = pl.program_id(0)
-    nt = pl.num_programs(0)
+    prefetches tile t+1's windows while sweeping tile t (see
+    _stream_tiles)."""
     p = tx + 2 * halo
 
-    def tile_lo(tt):
-        return jnp.minimum(tt * tx, n_full - tx)
+    def compute(refs, wlo):
+        vA, vB, vA0, vB0 = refs
+        r0 = _rb_r_mask(vA.shape, wlo)
+        is_first = wlo == 0
+        is_last = wlo == n_full - p
 
-    def tile_wlo(tt):
-        return jnp.clip(tile_lo(tt) - halo, 0, n_full - p)
+        a0v = vA0[...]
+        b0v = vB0[...]
+        for sw in range(n_sweeps):
+            if sw % 2 == 0:
+                _rb_half_sweep(vA, vB, a0v, r0, a=a, c_inv=c_inv)
+            else:
+                _rb_half_sweep(vB, vA, b0v, ~r0, a=a, c_inv=c_inv)
+            _rb_face_fix(vA, vB, is_first, is_last, r0, p=p, sx=sx,
+                         sy=sy, sz=sz, y_hi=y_hi, z_hi=z_hi)
 
-    def in_copies(tt, slot):
-        w = tile_wlo(tt)
-        return [pltpu.make_async_copy(src.at[pl.ds(w, p)],
-                                      vbuf.at[slot, i], in_sems.at[slot, i])
-                for i, src in enumerate((xA_hbm, xB_hbm, a0_hbm, b0_hbm))]
-
-    def out_copies(tt, slot):
-        lo = tile_lo(tt)
-        w = tile_wlo(tt)
-        return [pltpu.make_async_copy(vbuf.at[slot, i, pl.ds(lo - w, tx)],
-                                      dst.at[pl.ds(lo, tx)],
-                                      out_sems.at[slot, i])
-                for i, dst in enumerate((oA_hbm, oB_hbm))]
-
-    s = jax.lax.rem(t, 2)
-    s2 = jax.lax.rem(t + 1, 2)
-
-    @pl.when(t == 0)
-    def _():
-        for cp in in_copies(0, 0):
-            cp.start()
-
-    @pl.when(t + 1 < nt)
-    def _():
-        # slot s2 was written out by program t-1; wait for that flush
-        # before overwriting it with tile t+1's windows
-        @pl.when(t > 0)
-        def _():
-            for cp in out_copies(t - 1, s2):
-                cp.wait()
-        for cp in in_copies(t + 1, s2):
-            cp.start()
-
-    for cp in in_copies(t, s):
-        cp.wait()
-
-    vA, vB, vA0, vB0 = (vbuf.at[s, i] for i in range(4))
-    wlo = tile_wlo(t)
-    shape = vbuf.shape[2:]
-    r0 = _rb_r_mask(shape, wlo)
-    is_first = wlo == 0
-    is_last = wlo == n_full - p
-
-    a0v = vA0[...]
-    b0v = vB0[...]
-    for sw in range(n_sweeps):
-        if sw % 2 == 0:
-            _rb_half_sweep(vA, vB, a0v, r0, a=a, c_inv=c_inv)
-        else:
-            _rb_half_sweep(vB, vA, b0v, ~r0, a=a, c_inv=c_inv)
-        _rb_face_fix(vA, vB, is_first, is_last, r0, p=p, sx=sx, sy=sy,
-                     sz=sz, y_hi=y_hi, z_hi=z_hi)
-
-    for cp in out_copies(t, s):
-        cp.start()
-
-    @pl.when(t == nt - 1)
-    def _():
-        @pl.when(t > 0)
-        def _():
-            for cp in out_copies(t - 1, s2):
-                cp.wait()
-        for cp in out_copies(t, s):
-            cp.wait()
+    _stream_tiles((xA_hbm, xB_hbm, a0_hbm, b0_hbm),
+                  ((0, oA_hbm), (1, oB_hbm)), vbuf, in_sems, out_sems,
+                  n_full=n_full, tx=tx, halo=halo, compute=compute)
 
 
 @functools.partial(jax.jit, static_argnames=("b", "a", "c", "iters",
@@ -808,10 +853,7 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
               n_sweeps=n_sweeps)
     if pipeline:
         kern = functools.partial(_solve_rb_packed_pipe_kernel, **kw)
-        scratch = [pltpu.VMEM((2, 4, p, A.shape[1], A.shape[2]),
-                              jnp.float32),
-                   pltpu.SemaphoreType.DMA((2, 4)),
-                   pltpu.SemaphoreType.DMA((2, 2))]
+        scratch = _stream_scratch(4, 2, p, A.shape[1], A.shape[2])
     else:
         kern = functools.partial(_solve_rb_packed_kernel, **kw)
         scratch = [pltpu.VMEM((p, A.shape[1], A.shape[2]), jnp.float32)

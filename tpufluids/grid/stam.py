@@ -211,17 +211,20 @@ def _use_pallas(cfg):
 def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False):
     if _use_pallas(cfg):
         from tpufluids.grid.pallas_kernels import lin_solve3d_pallas
+        if red_black and cfg.solver_dtype != "bfloat16":
+            from tpufluids.grid.pallas_kernels import (lin_solve3d_rb_packed,
+                                                       rb_packed_plan)
+            # fuse=4, tx=32, pipelined measured best at 256^3 on v5e
+            # (15.6 ms vs 17.5 for the old tx=24 fuse=2 unpipelined);
+            # the plan degrades fuse/tx/pipelining for grids whose
+            # double-buffered windows exceed the VMEM budget.
+            tx, fuse, pipe = rb_packed_plan(x.shape, iters)
+            return lin_solve3d_rb_packed(b, x, x0, float(a), float(c),
+                                         iters, fuse=fuse, tx=tx,
+                                         pipeline=pipe)
         fuse = 2 if iters % 2 == 0 else 1
-        # tx=24 measured best at 256^3 on v5e (21.9 ms vs 24.4 at 16 for
-        # the 20-iter red-black solve); tx=32 hits VMEM limits with the
-        # sweep temporaries.  Clamped so the window (tx + 2*halo) fits
-        # small grids.
         halo = (2 if red_black else 1) * fuse
         tx = max(1, min(24, x.shape[0] - 2 * halo))
-        if red_black and cfg.solver_dtype != "bfloat16":
-            from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
-            return lin_solve3d_rb_packed(b, x, x0, float(a), float(c),
-                                         iters, fuse=fuse, tx=tx)
         dtype = (jnp.bfloat16 if cfg.solver_dtype == "bfloat16"
                  else jnp.float32)
         return lin_solve3d_pallas(b, x, x0, float(a), float(c), iters,
@@ -624,13 +627,12 @@ def step3d(state: GridState3D, cfg: StamConfig,
                              or cfg.vorticity_eps):
         from tpufluids.grid.pallas_kernels import forcing3d_pallas
         n_ = u.shape[0] - 2
-        # tx=16 measured 11% faster than 4 at 256^3 (halo redundancy
-        # p/tx drops 2x -> 1.25x); clamp for small grids
-        ftx = 16 if n_ + 2 >= 24 else 4
+        # tx=16 measured best at 256^3 (the wrapper's VMEM fit shrinks
+        # the tile for small or very large grids)
         u, v, w = forcing3d_pallas(
             u, v, w, dens, temp, float(cfg.dt), 1.0 / n_,
             float(cfg.vorticity_eps), float(cfg.buoyancy_alpha),
-            float(cfg.buoyancy_beta), float(cfg.ambient_temp), tx=ftx)
+            float(cfg.buoyancy_beta), float(cfg.ambient_temp), tx=16)
     else:
         if cfg.buoyancy_alpha or cfg.buoyancy_beta:
             w = buoyancy3d(w, dens, temp, cfg)
@@ -647,8 +649,7 @@ def step3d(state: GridState3D, cfg: StamConfig,
         from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
         n = u.shape[0] - 2
         u, v, w = advect3d_multi_pallas((u0, v0, w0), (1, 2, 3),
-                                        u0, v0, w0, float(cfg.dt * n),
-                                        tx=4)
+                                        u0, v0, w0, float(cfg.dt * n))
     else:
         u = _advect3(1, u0, u0, v0, w0, cfg)
         v = _advect3(2, v0, u0, v0, w0, cfg)
@@ -664,7 +665,7 @@ def step3d(state: GridState3D, cfg: StamConfig,
     if fused_advect:
         n = u.shape[0] - 2
         dens, temp = advect3d_multi_pallas((dens, temp), (0, 0), u, v, w,
-                                           float(cfg.dt * n), tx=4)
+                                           float(cfg.dt * n))
     else:
         dens = _advect3(0, dens, u, v, w, cfg)
         temp = _advect3(0, temp, u, v, w, cfg)

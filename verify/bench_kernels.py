@@ -104,19 +104,19 @@ def main():
                           f"{str(e)[:120]}", flush=True)
         return
 
-    timeit("forcing3d_pallas (tx=16)",
+    timeit("forcing3d_pallas (piped, tx=16)",
            lambda: pk.forcing3d_pallas(u, v, w, d, t_, dt, h, 2.0, 0.05,
                                        0.5, 0.0, tx=16), reps=reps)
-    timeit("div3d_pallas (tx=8)",
-           lambda: pk.div3d_pallas(u, v, w, tx=8), reps=reps)
-    timeit("gradsub3d_pallas (tx=8)",
-           lambda: pk.gradsub3d_pallas(x, u, v, w, tx=8), reps=reps)
-    timeit("advect3d_multi (uvw, tx=4)",
+    timeit("div3d_pallas (piped, default)",
+           lambda: pk.div3d_pallas(u, v, w), reps=reps)
+    timeit("gradsub3d_pallas (piped, default)",
+           lambda: pk.gradsub3d_pallas(x, u, v, w), reps=reps)
+    timeit("advect3d_multi (uvw, piped, default)",
            lambda: pk.advect3d_multi_pallas((u, v, w), (1, 2, 3), u, v, w,
-                                            dt * n, tx=4), reps=reps)
-    timeit("advect3d_multi (dens+temp, tx=4)",
+                                            dt * n), reps=reps)
+    timeit("advect3d_multi (dens+temp, piped, default)",
            lambda: pk.advect3d_multi_pallas((d, t_), (0, 0), u, v, w,
-                                            dt * n, tx=4), reps=reps)
+                                            dt * n), reps=reps)
 
 
 if __name__ == "__main__":
