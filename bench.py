@@ -81,6 +81,28 @@ def main():
                   and jnp.isfinite(state.u).all())
     log(f"fields finite: {finite}")
 
+    # secondary: the spectral (DCT/MXU) projection option — exact
+    # Poisson solve; reported alongside the headline jacobi config
+    dct = {}
+    try:
+        dcfg = cfg.replace(projection="dct")
+        dstate = stam.make_grid3d(dcfg)
+        dstate = dstate.replace(
+            dens=dstate.dens.at[3 * k:5 * k, 3 * k:5 * k, 1:k].set(1.0),
+            temp=dstate.temp.at[3 * k:5 * k, 3 * k:5 * k, 1:k].set(3.0))
+        dstate, dres = stam.run3d_python(dstate, dcfg, warmup)
+        float(jnp.sum(dstate.u))
+        t0 = time.perf_counter()
+        dstate, dres = stam.run3d_python(dstate, dcfg, seg)
+        float(jnp.sum(dstate.u))
+        dct["dct_ms_per_step"] = round((time.perf_counter() - t0)
+                                       / seg * 1e3, 2)
+        dct["dct_poisson_residual"] = float(dres[-1])
+        log(f"DCT projection: {dct['dct_ms_per_step']} ms/step, "
+            f"residual {dct['dct_poisson_residual']:.3e}")
+    except Exception as e:  # never fail the headline metric
+        log(f"DCT secondary bench skipped: {e}")
+
     # secondary: the reference's own two scenes (SPH), Pallas backend
     sph = {}
     try:
@@ -114,6 +136,7 @@ def main():
             "poisson_residual": residual,
             "grid": n,
             "finite": finite,
+            **dct,
             **sph,
         },
     }))

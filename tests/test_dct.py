@@ -1,0 +1,60 @@
+"""Spectral (DCT) projection option: exact solve of the Neumann
+Poisson system, and integration into the 3D step."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpufluids.grid import stam
+
+from test_multigrid import _rand_rhs
+
+
+def test_dct_solves_poisson_to_roundoff():
+    """The DCT diagonalization solves the ghosted system exactly up to
+    float32 transform roundoff — orders of magnitude below 20 red-black
+    sweeps."""
+    n = 32
+    x0 = _rand_rhs(n)
+    p = stam.dct_solve3d(x0)
+    res = float(stam.poisson_residual3d(p, x0))
+    p_rb = stam.lin_solve3d(0, jnp.zeros_like(x0), x0, 1.0, 6.0, 20,
+                            red_black=True)
+    res_rb = float(stam.poisson_residual3d(p_rb, x0))
+    assert res < 2e-5
+    assert res < 0.05 * res_rb
+
+
+def test_dct_gauge_is_mean_free():
+    """The q=0 gauge leaves a mean-free pressure (any constant shift
+    solves the singular system; the spectral gauge pins it)."""
+    n = 16
+    x0 = _rand_rhs(n, seed=3)
+    p = stam.dct_solve3d(x0)
+    assert abs(float(jnp.mean(p[1:-1, 1:-1, 1:-1]))) < 1e-6
+
+
+def test_step3d_with_dct_projection():
+    n = 24
+    cfg = stam.StamConfig(n=n, dt=0.02, jacobi_iters=8, red_black=True,
+                          projection="dct", buoyancy_beta=0.5,
+                          solver_backend="xla")
+    s = stam.make_grid3d(cfg)
+    s = s.replace(temp=s.temp.at[8:16, 8:16, 2:6].set(2.0),
+                  dens=s.dens.at[8:16, 8:16, 2:6].set(1.0))
+    s, res = stam.run3d(s, cfg, 4)
+    for f in ("u", "v", "w", "dens", "temp"):
+        assert bool(jnp.all(jnp.isfinite(getattr(s, f)))), f
+    # exact projection: residual at roundoff while jacobi would be ~1e-3
+    assert float(res[-1]) < 1e-4
+
+
+def test_mac_with_dct_projection_kills_divergence():
+    from tpufluids.grid import mac
+    n = 24
+    cfg = stam.StamConfig(n=n, dt=0.02, projection="dct",
+                          buoyancy_beta=0.5, solver_backend="xla")
+    s = mac.make_mac3d(cfg)
+    s = s.replace(temp=s.temp.at[8:16, 8:16, 2:6].set(2.0))
+    s, res = mac.run3d_python(s, cfg, 4)
+    # exact face-difference projection: post-step divergence ~ roundoff
+    assert float(res[-1]) < 1e-4

@@ -166,6 +166,8 @@ def project(u, v, w, cfg: stam.StamConfig, with_residual: bool = False):
     div = stam.set_bnd3d(0, div.at[1:-1, 1:-1, 1:-1].set(-h * h * div_i))
     if cfg.projection == "multigrid":
         p = stam.mg_solve3d(div, cfg)
+    elif cfg.projection == "dct":
+        p = stam.dct_solve3d(div, cfg)
     else:
         p = stam._lin_solve3d(0, jnp.zeros_like(div), div, 1.0, 6.0,
                               cfg.jacobi_iters, cfg,

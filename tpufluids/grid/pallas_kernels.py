@@ -142,7 +142,8 @@ def _bnd_scales(b):
 
 
 def _stream_tiles(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
-                  n_full, tx, halo, compute, pipeline=True):
+                  n_full, tx, halo, compute, pipeline=True,
+                  n_bufs=None):
     """Double-buffered x-window pipeline over ``grid=(num_tiles,)``.
 
     ``in_hbm``: input HBM refs sharing (n_full, Y, Z) geometry, copied
@@ -156,10 +157,16 @@ def _stream_tiles(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
     ``pipeline=False`` runs a single-slot serial load/compute/store
     cycle — for compute bodies whose register-spill footprint scales
     with the window (e.g. 27-tap advection), where the second slot
-    would push the program past the VMEM limit."""
+    would push the program past the VMEM limit.
+
+    ``n_bufs`` > len(in_hbm) reserves extra slot buffers (not filled by
+    input DMAs) that ``compute`` may use as dedicated outputs; they are
+    passed to ``compute`` after the input windows and may be named by
+    ``out_pairs`` buffer indices."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     n_in = len(in_hbm)
+    n_bufs = n_in if n_bufs is None else n_bufs
     p = tx + 2 * halo
 
     def tile_lo(tt):
@@ -187,7 +194,7 @@ def _stream_tiles(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
             cp.start()
         for cp in in_copies(t, 0):
             cp.wait()
-        compute([vbuf.at[0, i] for i in range(n_in)], tile_wlo(t))
+        compute([vbuf.at[0, i] for i in range(n_bufs)], tile_wlo(t))
         for cp in out_copies(t, 0):
             cp.start()
         for cp in out_copies(t, 0):
@@ -214,7 +221,7 @@ def _stream_tiles(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
     for cp in in_copies(t, s):
         cp.wait()
 
-    compute([vbuf.at[s, i] for i in range(n_in)], tile_wlo(t))
+    compute([vbuf.at[s, i] for i in range(n_bufs)], tile_wlo(t))
 
     for cp in out_copies(t, s):
         cp.start()
@@ -490,83 +497,107 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24):
 
 
 def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
-                   dt0, bnds):
+                   dt0, bnds, pipeline):
     """rest = (field_hbm..., out_hbm..., vbuf, in_sems, out_sems).
     Advect k fields by (u,v,w) with one shared set of backtrace weights
-    (the XLA path recomputes them per field)."""
+    (the XLA path recomputes them per field).
+
+    The 27-tap loop streams one output x-plane at a time: whole-window
+    formulation keeps ~5 window-sized temporaries per field live and
+    register-spills far past the VMEM limit (measured 214M at 256^3
+    with tx=8), while per-plane temporaries are ~400 KB each.  Outputs
+    go to dedicated plane buffers (in-place window writes would corrupt
+    the dx=-1 taps of the next plane)."""
     k = len(bnds)
     f_hbm = rest[:k]
     o_hbm = rest[k:2 * k]
     vbuf, in_sems, out_sems = rest[2 * k:2 * k + 3]
     p = tx + 2
+    n_in = 3 + k
 
     def compute(refs, wlo):
         vu, vv, vw = refs[:3]
-        vf = refs[3:]
-        shape = vu.shape
-        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
-        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-        gif = gi.astype(jnp.float32)
+        vf = refs[3:3 + k]
+        vo = refs[3 + k:3 + 2 * k]
+        pshape = (1,) + vu.shape[1:]
+        jj = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, pshape, 2)
         jjf = jj.astype(jnp.float32)
         kkf = kk.astype(jnp.float32)
-
-        def offs(vel, coord, extent):
-            o = jnp.clip(-dt0 * vel, -1.0, 1.0)
-            # per-cell source clamp to [0.5, n_axis + 0.5] where n_axis
-            # = extent - 2 interior cells, matching the dense stencil
-            # advection
-            return jnp.clip(o, 0.5 - coord, extent - 1.5 - coord)
-
-        ox = offs(vu[...], gif, jnp.float32(n_full))
-        oy = offs(vv[...], jjf, jnp.float32(y_hi + 1))
-        oz = offs(vw[...], kkf, jnp.float32(z_hi + 1))
+        yz_int = ((jj >= 1) & (jj <= y_hi - 1) & (kk >= 1)
+                  & (kk <= z_hi - 1))
 
         def hat(o, d):
             return jnp.maximum(0.0, 1.0 - jnp.abs(o - d))
 
-        outs = [jnp.zeros(shape, jnp.float32) for _ in range(k)]
-        fields = [r[...] for r in vf]
-        for dx in (-1, 0, 1):
-            wx = hat(ox, dx)
-            fx = [_shift(f, dx, 0) for f in fields]
-            for dy in (-1, 0, 1):
-                wxy = wx * hat(oy, dy)
-                fxy = [_shift(f, dy, 1) for f in fx]
-                for dz in (-1, 0, 1):
-                    wgt = wxy * hat(oz, dz)
-                    for q in range(k):
-                        outs[q] = outs[q] + wgt * _shift(fxy[q], dz, 2)
+        def plane(ref, j):
+            return ref[pl.ds(j, 1)]
 
-        interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                    & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+        def body(j, _):
+            gi = wlo + j
+            gif = jnp.float32(gi)
+
+            def offs(vel, coord, extent):
+                o = jnp.clip(-dt0 * vel, -1.0, 1.0)
+                # per-cell source clamp to [0.5, n_axis + 0.5] where
+                # n_axis = extent - 2 interior cells, matching the
+                # dense stencil advection
+                return jnp.clip(o, 0.5 - coord, extent - 1.5 - coord)
+
+            ox = offs(plane(vu, j), gif, jnp.float32(n_full))
+            oy = offs(plane(vv, j), jjf, jnp.float32(y_hi + 1))
+            oz = offs(plane(vw, j), kkf, jnp.float32(z_hi + 1))
+            wxs = [hat(ox, d) for d in (-1, 0, 1)]
+            wys = [hat(oy, d) for d in (-1, 0, 1)]
+            wzs = [hat(oz, d) for d in (-1, 0, 1)]
+
+            outs = [jnp.zeros(pshape, jnp.float32) for _ in range(k)]
+            ctr = [None] * k
+            for dx in (-1, 0, 1):
+                fx = [plane(vf[q], j + dx) for q in range(k)]
+                if dx == 0:
+                    ctr = fx
+                for dy in (-1, 0, 1):
+                    wxy = wxs[dx + 1] * wys[dy + 1]
+                    fxy = [_shift(f, dy, 1) for f in fx]
+                    for dz in (-1, 0, 1):
+                        wgt = wxy * wzs[dz + 1]
+                        for q in range(k):
+                            outs[q] = (outs[q]
+                                       + wgt * _shift(fxy[q], dz, 2))
+
+            ok = yz_int & (gi >= 1) & (gi <= n_full - 2)
+            for q in range(k):
+                vo[q][pl.ds(j, 1)] = jnp.where(ok, outs[q], ctr[q])
+            return 0
+
+        # planes 0 / p-1 lack a window neighbor; they are only live at
+        # the domain faces, where the face fix rewrites them below
+        jax.lax.fori_loop(1, p - 1, body, 0, unroll=False)
+
         is_first = wlo == 0
         is_last = wlo == n_full - p
         for q in range(k):
             sx, sy, sz = _bnd_scales(bnds[q])
-            vf[q][...] = jnp.where(interior, outs[q], fields[q])
-            _face_fix_ref(vf[q], is_first, is_last, p=p, sx=sx, sy=sy,
+            _face_fix_ref(vo[q], is_first, is_last, p=p, sx=sx, sy=sy,
                           sz=sz, y_hi=y_hi, z_hi=z_hi)
 
     _stream_tiles((u_hbm, v_hbm, w_hbm) + tuple(f_hbm),
-                  tuple((3 + q, o_hbm[q]) for q in range(k)),
+                  tuple((n_in + q, o_hbm[q]) for q in range(k)),
                   vbuf, in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
-                  compute=compute, pipeline=False)
+                  compute=compute, pipeline=pipeline, n_bufs=n_in + k)
 
 
 @functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx"))
 def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
-                          tx: int = 4):
+                          tx: int = 8):
     """Fused 27-tap stencil advection of ``fields`` (tuple) by (u,v,w).
 
     Equivalent to calling stam.advect3d_stencil per field, but the
     backtrace weights are computed once and all fields stream through
-    VMEM together.
-
-    Runs the single-slot (unpipelined) streaming layout: the 27-tap
-    compute body's register spills scale with the window, so a second
-    window slot pushes the program past the 128M VMEM limit (measured
-    214M at 256^3 with tx=8 double-buffered).
+    VMEM together.  The compute body streams per output plane (see
+    _advect_kernel), so the window buffers are the only VMEM cost and
+    the double-buffered pipeline fits.
     """
     k = len(fields)
     assert len(bnds) == k
@@ -581,14 +612,19 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
 
     u_, v_, w_ = pad(u), pad(v), pad(w)
     fs = [pad(f) for f in fields]
-    tx = _fit_tx(tx, 3 + k, 1, n_full, yp, zp, slots=1,
-                 budget=30 * 1024 * 1024)
+    n_bufs = 3 + 2 * k
+    tx = _fit_tx(tx, n_bufs, 1, n_full, yp, zp,
+                 budget=80 * 1024 * 1024)
+    pipeline = tx >= 4
+    if not pipeline:
+        tx = _fit_tx(8, n_bufs, 1, n_full, yp, zp, slots=1,
+                     budget=80 * 1024 * 1024)
     p = tx + 2
     grid = (pl.cdiv(n_full, tx),)
 
     kern = functools.partial(
         _advect_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1,
-        tx=tx, dt0=dt0, bnds=bnds)
+        tx=tx, dt0=dt0, bnds=bnds, pipeline=pipeline)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -596,7 +632,8 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * k),
         out_shape=tuple(
             jax.ShapeDtypeStruct(u_.shape, jnp.float32) for _ in range(k)),
-        scratch_shapes=_stream_scratch(3 + k, k, p, yp, zp, slots=1),
+        scratch_shapes=_stream_scratch(n_bufs, k, p, yp, zp,
+                                       slots=2 if pipeline else 1),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(u_, v_, w_, *fs)

@@ -63,9 +63,11 @@ class StamConfig:
     # the solved pressure/diffusion field — visual-effects quality)
     solver_dtype: str = "float32"
     # pressure projection solver: "jacobi" (jacobi_iters sweeps, the
-    # BASELINE benchmark definition) or "multigrid" (mg_cycles V(2,2)
+    # BASELINE benchmark definition), "multigrid" (mg_cycles V(2,2)
     # cycles — each reduces the Poisson residual ~10x at the cost of
-    # ~8 sweeps, where plain sweeps stall with grid size)
+    # ~8 sweeps, where plain sweeps stall with grid size), or "dct"
+    # (exact spectral solve via 3-axis DCT matmuls on the MXU;
+    # residual ~1e-6 in one fixed-cost pass — see dct_solve3d)
     projection: str = "jacobi"
     mg_cycles: int = 2
 
@@ -214,8 +216,8 @@ def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False):
         if red_black and cfg.solver_dtype != "bfloat16":
             from tpufluids.grid.pallas_kernels import (lin_solve3d_rb_packed,
                                                        rb_packed_plan)
-            # fuse=4, tx=32, pipelined measured best at 256^3 on v5e
-            # (15.6 ms vs 17.5 for the old tx=24 fuse=2 unpipelined);
+            # fuse=4, tx=24, pipelined measured best at 256^3 on v5e
+            # (17.0 ms standalone vs 17.5 unpipelined, 19.6 at tx=32);
             # the plan degrades fuse/tx/pipelining for grids whose
             # double-buffered windows exceed the VMEM budget.
             tx, fuse, pipe = rb_packed_plan(x.shape, iters)
@@ -471,6 +473,45 @@ def mg_solve3d(x0, cfg, cycles: int = None):
     return p
 
 
+def dct_solve3d(x0, cfg=None):
+    """Exact pressure-Poisson solve by 3-axis DCT diagonalization.
+
+    The ghosted Jacobi system of lin_solve3d(b=0) — `6p - sum_nb p =
+    x0` with set_bnd mirror ghosts — is the free Neumann Laplacian,
+    which the type-II cosine basis diagonalizes exactly: the interior
+    operator along each axis has eigenvectors cos(pi*q*(i+0.5)/n) with
+    eigenvalues 2 - 2cos(pi*q/n).  One forward DCT (three dense (n,n)
+    matmuls, which run on the MXU where the TPU's FLOPs are), a
+    diagonal scale with the q=0 gauge mode zeroed, and one inverse
+    DCT replace the reference-style iterative sweeps (solver parity:
+    the CUDA reference has no Poisson solver at all; this is the
+    TPU-first alternative to config 3's red-black Jacobi).  Residual
+    reaches ~1e-6 (float32 transform roundoff) in a fixed ~52 GFLOP.
+    """
+    n = x0.shape[0] - 2
+    xi = x0[1:-1, 1:-1, 1:-1]
+    prec = jax.lax.Precision.HIGHEST
+    i = jnp.arange(n, dtype=jnp.float32)
+    ang = jnp.pi / n * i[:, None] * (i[None, :] + 0.5)
+    C = jnp.cos(ang)                              # forward DCT-II (q,i)
+    Ci = C.T * (jnp.where(i == 0, 1.0, 2.0) / n)  # inverse DCT (i,q)
+    lam1 = 2.0 - 2.0 * jnp.cos(jnp.pi * i / n)
+    lam = (lam1[:, None, None] + lam1[None, :, None]
+           + lam1[None, None, :])
+
+    def tmul(a, m):
+        # contract each axis in turn against m's second index
+        a = jnp.einsum("iyz,qi->qyz", a, m, precision=prec)
+        a = jnp.einsum("xiz,qi->xqz", a, m, precision=prec)
+        return jnp.einsum("xyi,qi->xyq", a, m, precision=prec)
+
+    coef = tmul(xi, C) / jnp.where(lam == 0.0, 1.0, lam)
+    coef = coef.at[0, 0, 0].set(0.0)              # pressure gauge
+    sol = tmul(coef, Ci)
+    p = jnp.zeros_like(x0).at[1:-1, 1:-1, 1:-1].set(sol)
+    return set_bnd3d(0, p)
+
+
 def project3d(u, v, w, cfg, with_residual: bool = False):
     n = u.shape[0] - 2
     h = 1.0 / n
@@ -480,6 +521,8 @@ def project3d(u, v, w, cfg, with_residual: bool = False):
         div = div3d_pallas(u, v, w)
         if cfg.projection == "multigrid":
             p = mg_solve3d(div, cfg)
+        elif cfg.projection == "dct":
+            p = dct_solve3d(div, cfg)
         else:
             p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
                              cfg.jacobi_iters, cfg,
@@ -491,6 +534,8 @@ def project3d(u, v, w, cfg, with_residual: bool = False):
         div = set_bnd3d(0, div)
         if cfg.projection == "multigrid":
             p = mg_solve3d(div, cfg)
+        elif cfg.projection == "dct":
+            p = dct_solve3d(div, cfg)
         else:
             p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
                              cfg.jacobi_iters, cfg,
