@@ -126,15 +126,29 @@ def test_forcing_pallas_matches_dense_interpret():
 
 
 @pytest.mark.parametrize("b", [0, 1, 3])
-@pytest.mark.parametrize("fuse", [1, 2])
-def test_packed_rb_solver_matches_dense_interpret(rand3d, b, fuse):
+@pytest.mark.parametrize("fuse,pipeline", [(1, True), (2, True),
+                                           (2, False)])
+def test_packed_rb_solver_matches_dense_interpret(rand3d, b, fuse,
+                                                  pipeline):
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
     x, x0 = rand3d
     ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=True)
     with pltpu.force_tpu_interpret_mode():
         got = lin_solve3d_rb_packed(b, x, x0, 1.0, 6.0, 4, tx=4,
-                                    fuse=fuse)
+                                    fuse=fuse, pipeline=pipeline)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_rb_solver_single_tile_interpret(rand3d):
+    """tx >= n: one tile is both first and last (trim disabled)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+    x, x0 = rand3d
+    ref = stam.lin_solve3d(0, x, x0, 1.0, 6.0, 2, red_black=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve3d_rb_packed(0, x, x0, 1.0, 6.0, 2,
+                                    tx=x.shape[0] - 4, fuse=1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 

@@ -20,7 +20,7 @@ def timeit(name, fn, reps=10):
     float(r[1,1,1])
     print(f"{name:40s} {(time.perf_counter()-t0)/reps*1e3:8.2f} ms", flush=True)
 
-for tx, fuse, pipe in [(24,4,True),(27,4,True),(32,4,True),(40,4,True),(32,5,True),(24,2,True),(48,4,False)]:
+for tx, fuse, pipe in [(24,4,True),(24,2,True),(32,4,True)]:
     try:
         f = jax.jit(lambda x0, tx=tx, fuse=fuse, pipe=pipe: pk.lin_solve3d_rb_packed(
             0, z, x0, 1.0, 6.0, 20, tx=tx, fuse=fuse, pipeline=pipe))
