@@ -58,3 +58,33 @@ def test_mac_with_dct_projection_kills_divergence():
     s, res = mac.run3d_python(s, cfg, 4)
     # exact face-difference projection: post-step divergence ~ roundoff
     assert float(res[-1]) < 1e-4
+
+
+def test_dct2d_solves_poisson_to_roundoff():
+    n = 32
+    rng = np.random.default_rng(7)
+    r = rng.normal(0, 1, (n, n)).astype(np.float32)
+    r -= r.mean()
+    x0 = jnp.zeros((n + 2,) * 2, jnp.float32).at[1:-1, 1:-1].set(r)
+    x0 = stam.set_bnd2d(0, x0)
+    p = stam.dct_solve2d(x0)
+    res = float(stam.poisson_residual2d(p, x0))
+    # roundoff-level: ~|p| * eps (2D solutions scale with n^2/pi^2);
+    # 20 jacobi sweeps leave ~0.5 on this system
+    p_j = stam.lin_solve2d(0, jnp.zeros_like(x0), x0, 1.0, 4.0, 20)
+    res_j = float(stam.poisson_residual2d(p_j, x0))
+    assert res < 1e-4
+    assert res < 1e-3 * res_j
+
+
+def test_step2d_with_dct_projection():
+    n = 32
+    cfg = stam.StamConfig(n=n, dt=0.05, projection="dct",
+                          buoyancy_beta=0.5)
+    s = stam.make_grid2d(cfg)
+    s = s.replace(dens=s.dens.at[12:20, 2:6].set(1.0),
+                  temp=s.temp.at[12:20, 2:6].set(2.0))
+    for _ in range(5):
+        s = stam.step2d(s, cfg)
+    for f in ("u", "v", "dens", "temp"):
+        assert bool(jnp.all(jnp.isfinite(getattr(s, f)))), f

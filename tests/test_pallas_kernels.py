@@ -141,7 +141,7 @@ def test_packed_rb_solver_matches_dense_interpret(rand3d, b, fuse,
 
 
 def test_packed_rb_solver_single_tile_interpret(rand3d):
-    """tx >= n: one tile is both first and last (trim disabled)."""
+    """Whole-array window: the tile is both first and last."""
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
     x, x0 = rand3d
@@ -293,3 +293,18 @@ def test_unidyn_step_with_pallas_backend_interpret():
         scale = max(1.0, np.abs(rd[f][ri]).max())
         np.testing.assert_allclose(gd[f][gi], rd[f][ri], rtol=1e-4,
                                    atol=1e-5 * scale, err_msg=f)
+
+
+def test_rb_packed_plan_degrades_with_grid_size():
+    from tpufluids.grid.pallas_kernels import rb_packed_plan
+    # 256^3: deep fuse, pipelined, useful tile
+    tx, fuse, pipe = rb_packed_plan((258, 258, 258), 20)
+    assert fuse == 4 and pipe and tx >= 16
+    # 512^3: planes are 4x larger; plan must still return a runnable
+    # config (shallower fuse and/or unpipelined, tile >= 1)
+    tx5, fuse5, pipe5 = rb_packed_plan((514, 514, 514), 20)
+    assert tx5 >= 1 and fuse5 in (1, 2, 4) and 20 % fuse5 == 0
+    assert (tx5 + 4 * fuse5) <= 514
+    # tiny grids: window must fit the array
+    txt, fuset, _ = rb_packed_plan((18, 18, 18), 4)
+    assert txt + 4 * fuset <= 18

@@ -52,6 +52,8 @@ def build_parser():
         p.add_argument("--size", type=int, default=None)
         p.add_argument("--jacobi-iters", type=int, default=20)
         p.add_argument("--red-black", action="store_true")
+        p.add_argument("--projection", default="jacobi",
+                       choices=("jacobi", "multigrid", "dct"))
         p.add_argument("--vorticity", type=float, default=0.0)
         if name in ("plume3d", "grid3d"):
             p.add_argument("--mac", action="store_true",
@@ -140,7 +142,8 @@ def run_grid(args):
     cfg = stam.StamConfig(
         n=n, dt=0.1 if args.scene == "smoke2d" else 0.05,
         diff=1e-5, visc=1e-5, jacobi_iters=args.jacobi_iters,
-        red_black=args.red_black, vorticity_eps=args.vorticity,
+        red_black=args.red_black, projection=args.projection,
+        vorticity_eps=args.vorticity,
         buoyancy_alpha=0.05 if args.scene == "plume3d" else 0.0,
         buoyancy_beta=1.0 if args.scene == "plume3d" else 0.0)
 

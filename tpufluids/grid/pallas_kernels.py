@@ -613,12 +613,17 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     u_, v_, w_ = pad(u), pad(v), pad(w)
     fs = [pad(f) for f in fields]
     n_bufs = 3 + 2 * k
-    tx = _fit_tx(tx, n_bufs, 1, n_full, yp, zp,
-                 budget=80 * 1024 * 1024)
+    # the per-plane compute body keeps ~46 plane-sized temporaries
+    # live (measured at 512^3: 58M of spills+temps beside the 80M
+    # window scratch); budget only what they leave of the VMEM limit
+    plane = yp * zp * 4
+    budget = max(16 * 1024 * 1024,
+                 112 * 1024 * 1024 - 46 * plane)
+    tx = _fit_tx(tx, n_bufs, 1, n_full, yp, zp, budget=budget)
     pipeline = tx >= 4
     if not pipeline:
         tx = _fit_tx(8, n_bufs, 1, n_full, yp, zp, slots=1,
-                     budget=80 * 1024 * 1024)
+                     budget=budget)
     p = tx + 2
     grid = (pl.cdiv(n_full, tx),)
 

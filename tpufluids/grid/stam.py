@@ -404,7 +404,11 @@ def project2d(u, v, cfg, with_residual: bool = False):
     h = 1.0 / n
     div = jnp.zeros_like(u).at[1:-1, 1:-1].set(divergence2d(u, v))
     div = set_bnd2d(0, div)
-    p = lin_solve2d(0, jnp.zeros_like(u), div, 1.0, 4.0, cfg.jacobi_iters)
+    if cfg.projection == "dct":
+        p = dct_solve2d(div, cfg)
+    else:
+        p = lin_solve2d(0, jnp.zeros_like(u), div, 1.0, 4.0,
+                        cfg.jacobi_iters)
     u = u.at[1:-1, 1:-1].add(-0.5 * (p[2:, 1:-1] - p[:-2, 1:-1]) / h)
     v = v.at[1:-1, 1:-1].add(-0.5 * (p[1:-1, 2:] - p[1:-1, :-2]) / h)
     u, v = set_bnd2d(1, u), set_bnd2d(2, v)
@@ -473,43 +477,58 @@ def mg_solve3d(x0, cfg, cycles: int = None):
     return p
 
 
-def dct_solve3d(x0, cfg=None):
-    """Exact pressure-Poisson solve by 3-axis DCT diagonalization.
+def _dct_axis(a, m, ax, prec):
+    """Contract matrix m[q, i] against axis ``ax`` of ``a``."""
+    out = jnp.tensordot(m, jnp.moveaxis(a, ax, 0), axes=((1,), (0,)),
+                        precision=prec)
+    return jnp.moveaxis(out, 0, ax)
 
-    The ghosted Jacobi system of lin_solve3d(b=0) — `6p - sum_nb p =
-    x0` with set_bnd mirror ghosts — is the free Neumann Laplacian,
-    which the type-II cosine basis diagonalizes exactly: the interior
-    operator along each axis has eigenvectors cos(pi*q*(i+0.5)/n) with
-    eigenvalues 2 - 2cos(pi*q/n).  One forward DCT (three dense (n,n)
-    matmuls, which run on the MXU where the TPU's FLOPs are), a
-    diagonal scale with the q=0 gauge mode zeroed, and one inverse
-    DCT replace the reference-style iterative sweeps (solver parity:
-    the CUDA reference has no Poisson solver at all; this is the
-    TPU-first alternative to config 3's red-black Jacobi).  Residual
-    reaches ~1e-6 (float32 transform roundoff) in a fixed ~52 GFLOP.
-    """
-    n = x0.shape[0] - 2
-    xi = x0[1:-1, 1:-1, 1:-1]
+
+def _dct_solve_interior(xi):
+    """Exact Neumann-Poisson solve on an interior array of any rank.
+
+    Solves `(2d) x - sum_nb x = xi` (the fixed point of lin_solve
+    with a=1, c=2*ndim and set_bnd mirror ghosts).  The mirror ghosts
+    make the per-axis operator the free Neumann Laplacian, which the
+    type-II cosine basis diagonalizes exactly: eigenvectors
+    cos(pi*q*(i+0.5)/n), eigenvalues 2 - 2cos(pi*q/n).  Forward DCT,
+    diagonal scale with the q=0 gauge mode zeroed, inverse DCT — all
+    dense (n, n) matmuls that run on the MXU where the TPU's FLOPs
+    are (the TPU-first alternative to iterative sweeps; the CUDA
+    reference has no Poisson solver at all)."""
     prec = jax.lax.Precision.HIGHEST
-    i = jnp.arange(n, dtype=jnp.float32)
-    ang = jnp.pi / n * i[:, None] * (i[None, :] + 0.5)
-    C = jnp.cos(ang)                              # forward DCT-II (q,i)
-    Ci = C.T * (jnp.where(i == 0, 1.0, 2.0) / n)  # inverse DCT (i,q)
-    lam1 = 2.0 - 2.0 * jnp.cos(jnp.pi * i / n)
-    lam = (lam1[:, None, None] + lam1[None, :, None]
-           + lam1[None, None, :])
+    nd = xi.ndim
+    lam = 0.0
+    invs = []
+    for ax, n in enumerate(xi.shape):
+        i = jnp.arange(n, dtype=jnp.float32)
+        C = jnp.cos(jnp.pi / n * i[:, None] * (i[None, :] + 0.5))
+        Ci = C.T * (jnp.where(i == 0, 1.0, 2.0) / n)
+        xi = _dct_axis(xi, C, ax, prec)
+        lam1 = 2.0 - 2.0 * jnp.cos(jnp.pi * i / n)
+        lam = lam + lam1.reshape((-1,) + (1,) * (nd - 1 - ax))
+        invs.append(Ci)
+    coef = xi / jnp.where(lam == 0.0, 1.0, lam)
+    coef = coef.at[(0,) * nd].set(0.0)            # pressure gauge
+    for ax, Ci in enumerate(invs):
+        coef = _dct_axis(coef, Ci, ax, prec)
+    return coef
 
-    def tmul(a, m):
-        # contract each axis in turn against m's second index
-        a = jnp.einsum("iyz,qi->qyz", a, m, precision=prec)
-        a = jnp.einsum("xiz,qi->xqz", a, m, precision=prec)
-        return jnp.einsum("xyi,qi->xyq", a, m, precision=prec)
 
-    coef = tmul(xi, C) / jnp.where(lam == 0.0, 1.0, lam)
-    coef = coef.at[0, 0, 0].set(0.0)              # pressure gauge
-    sol = tmul(coef, Ci)
+def dct_solve3d(x0, cfg=None):
+    """Spectral projection solve on the ghosted 3D array (see
+    _dct_solve_interior).  Residual ~1e-6-relative (float32 transform
+    roundoff) in a fixed ~52 GFLOP at 256^3."""
+    sol = _dct_solve_interior(x0[1:-1, 1:-1, 1:-1])
     p = jnp.zeros_like(x0).at[1:-1, 1:-1, 1:-1].set(sol)
     return set_bnd3d(0, p)
+
+
+def dct_solve2d(x0, cfg=None):
+    """2D spectral projection solve (lin_solve2d b=0, c=4 system)."""
+    sol = _dct_solve_interior(x0[1:-1, 1:-1])
+    p = jnp.zeros_like(x0).at[1:-1, 1:-1].set(sol)
+    return set_bnd2d(0, p)
 
 
 def project3d(u, v, w, cfg, with_residual: bool = False):
