@@ -308,3 +308,15 @@ def test_rb_packed_plan_degrades_with_grid_size():
     # tiny grids: window must fit the array
     txt, fuset, _ = rb_packed_plan((18, 18, 18), 4)
     assert txt + 4 * fuset <= 18
+
+
+def test_packed_rb_solver_x_zero_matches(rand3d):
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+    _, x0 = rand3d
+    z = jnp.zeros_like(x0)
+    with pltpu.force_tpu_interpret_mode():
+        a = lin_solve3d_rb_packed(0, z, x0, 1.0, 6.0, 4, tx=4, fuse=2)
+        b = lin_solve3d_rb_packed(0, z, x0, 1.0, 6.0, 4, tx=4, fuse=2,
+                                  x_zero=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

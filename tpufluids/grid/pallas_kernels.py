@@ -849,19 +849,25 @@ def _solve_rb_packed_pipe_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("b", "a", "c", "iters",
-                                              "tx", "fuse", "pipeline"))
+                                              "tx", "fuse", "pipeline",
+                                              "x_zero"))
 def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
                           tx: int = 24, fuse: int = 2,
-                          pipeline: bool = True):
+                          pipeline: bool = True, x_zero: bool = False):
     """Red-black solver on the packed checkerboard layout — each
     half-sweep computes only its active cells (~1.9x less VPU work than
     the masked formulation).  Bit-compatible with
-    stam.lin_solve3d(red_black=True)."""
+    stam.lin_solve3d(red_black=True).
+
+    ``x_zero=True`` asserts the initial guess is all zeros (the
+    pressure projection's) and skips packing it — two full-field
+    select passes."""
     n_full, y_true, z_true = x.shape
     yp = -(-y_true // 8) * 8
     zp = -(-z_true // 128) * 128
     if (yp != y_true) or (zp != z_true):
-        x = jnp.pad(x, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
+        if not x_zero:
+            x = jnp.pad(x, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
         x0 = jnp.pad(x0, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
     sx, sy, sz = _bnd_scales(b)
 
@@ -869,15 +875,18 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
     ii = jnp.arange(n_full, dtype=jnp.int32)[:, None, None]
     kz = jnp.arange(zp, dtype=jnp.int32)[None, None, :]
     r0 = ((ii + kz + 1) % 2) == 0
-    xe, xo = x[:, 0::2, :], x[:, 1::2, :]
-    A = jnp.where(r0, xe, xo)
-    B = jnp.where(r0, xo, xe)
+    yh = yp // 2
+    yhp = -(-yh // 8) * 8
+    if x_zero:
+        A = B = jnp.zeros((n_full, yh, zp), jnp.float32)
+    else:
+        xe, xo = x[:, 0::2, :], x[:, 1::2, :]
+        A = jnp.where(r0, xe, xo)
+        B = jnp.where(r0, xo, xe)
     x0e, x0o = x0[:, 0::2, :], x0[:, 1::2, :]
     A0 = jnp.where(r0, x0e, x0o)
     B0 = jnp.where(r0, x0o, x0e)
     # re-pad packed sublanes to a multiple of 8
-    yh = yp // 2
-    yhp = -(-yh // 8) * 8
     if yhp != yh:
         padr = ((0, 0), (0, yhp - yh), (0, 0))
         A, B, A0, B0 = (jnp.pad(q, padr) for q in (A, B, A0, B0))

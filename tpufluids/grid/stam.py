@@ -210,7 +210,8 @@ def _use_pallas(cfg):
     return False
 
 
-def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False):
+def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False,
+                 x_zero=False):
     if _use_pallas(cfg):
         from tpufluids.grid.pallas_kernels import lin_solve3d_pallas
         if red_black and cfg.solver_dtype != "bfloat16":
@@ -223,7 +224,7 @@ def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False):
             tx, fuse, pipe = rb_packed_plan(x.shape, iters)
             return lin_solve3d_rb_packed(b, x, x0, float(a), float(c),
                                          iters, fuse=fuse, tx=tx,
-                                         pipeline=pipe)
+                                         pipeline=pipe, x_zero=x_zero)
         fuse = 2 if iters % 2 == 0 else 1
         halo = (2 if red_black else 1) * fuse
         tx = max(1, min(24, x.shape[0] - 2 * halo))
@@ -545,7 +546,7 @@ def project3d(u, v, w, cfg, with_residual: bool = False):
         else:
             p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
                              cfg.jacobi_iters, cfg,
-                             red_black=cfg.red_black)
+                             red_black=cfg.red_black, x_zero=True)
         u, v, w = gradsub3d_pallas(p, u, v, w)
     else:
         div = jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1].set(

@@ -179,6 +179,53 @@ def _advect_local(b, q, u, v, w, cfg, n_dev, n):
     return _set_bnd_yz(b, q.at[:, 1:-1, 1:-1].set(out))
 
 
+def _dct_solve_local(x0, n, n_dev):
+    """Sharded spectral projection solve (stam._dct_solve_interior over
+    x-slabs): y/z cosine transforms are local matmuls; the x transform
+    contracts the sharded axis as a per-device partial matmul followed
+    by ``psum_scatter`` — one reduce-scatter over ICI each way, versus
+    the iterative solver's 2 halo exchanges per iteration."""
+    prec = jax.lax.Precision.HIGHEST
+    c = x0.shape[0]
+    off = jax.lax.axis_index(AXIS) * c
+    xi = x0[:, 1:-1, 1:-1]
+    i = jnp.arange(n, dtype=jnp.float32)
+    C = jnp.cos(jnp.pi / n * i[:, None] * (i[None, :] + 0.5))
+    Ci = C.T * (jnp.where(i == 0, 1.0, 2.0) / n)
+    lam1 = 2.0 - 2.0 * jnp.cos(jnp.pi * i / n)
+
+    def xmul(a, m):
+        cols = jax.lax.dynamic_slice_in_dim(m, off, c, axis=1)
+        part = jnp.tensordot(cols, a, axes=((1,), (0,)),
+                             precision=prec)
+        if n_dev == 1:
+            return part
+        return jax.lax.psum_scatter(part, AXIS, scatter_dimension=0,
+                                    tiled=True)
+
+    def t_ax(a, m, ax):
+        out = jnp.tensordot(m, jnp.moveaxis(a, ax, 0),
+                            axes=((1,), (0,)), precision=prec)
+        return jnp.moveaxis(out, 0, ax)
+
+    F = xmul(xi, C)
+    F = t_ax(F, C, 1)
+    F = t_ax(F, C, 2)
+    lam = (jax.lax.dynamic_slice_in_dim(lam1, off, c)[:, None, None]
+           + lam1[None, :, None] + lam1[None, None, :])
+    coef = F / jnp.where(lam == 0.0, 1.0, lam)
+    # zero the global (0,0,0) gauge mode (lives on device 0's slab)
+    gauge = ((jnp.arange(c)[:, None, None] + off == 0)
+             & (jnp.arange(n)[None, :, None] == 0)
+             & (jnp.arange(n)[None, None, :] == 0))
+    coef = jnp.where(gauge, 0.0, coef)
+    sol = xmul(coef, Ci)
+    sol = t_ax(sol, Ci, 1)
+    sol = t_ax(sol, Ci, 2)
+    p = jnp.zeros_like(x0).at[:, 1:-1, 1:-1].set(sol)
+    return _set_bnd_yz(0, p)
+
+
 def _divergence_local(u, v, w, n, n_dev):
     h = 1.0 / n
     up = _halo(1, u, n_dev)
@@ -193,8 +240,12 @@ def _project_local(u, v, w, cfg, n, n_dev):
     div = jnp.zeros_like(u).at[:, 1:-1, 1:-1].set(
         _divergence_local(u, v, w, n, n_dev))
     div = _set_bnd_yz(0, div)
-    p = _lin_solve_local(0, jnp.zeros_like(u), div, 1.0, 6.0,
-                         cfg.jacobi_iters, n_dev, red_black=cfg.red_black)
+    if cfg.projection == "dct":
+        p = _dct_solve_local(div, n, n_dev)
+    else:
+        p = _lin_solve_local(0, jnp.zeros_like(u), div, 1.0, 6.0,
+                             cfg.jacobi_iters, n_dev,
+                             red_black=cfg.red_black)
     pp = _halo(0, p, n_dev)
     u = u.at[:, 1:-1, 1:-1].add(
         -0.5 * (pp[2:, 1:-1, 1:-1] - pp[:-2, 1:-1, 1:-1]) / h)
