@@ -267,3 +267,32 @@ def octant(pos: jax.Array, cfg: SPHConfig) -> jax.Array:
     return (upper[:, 0].astype(jnp.int32)
             + 2 * upper[:, 1].astype(jnp.int32)
             + 4 * (~upper[:, 2]).astype(jnp.int32))
+
+
+def suggest_col_cap(state, cfg: SPHConfig, headroom: float = 1.25,
+                    minimum: int = 64) -> int:
+    """Pick a static ``pallas_col_cap`` for a scene: the Pallas force
+    kernels pad every (x, y) column block to the cap, so an oversized
+    cap multiplies both window DMA bytes and pair-tile arithmetic by
+    the padding ratio (measured 116 -> 15 ms/step for a uniform 32k
+    fill when dropping cap 512 -> 88, and 549 -> 269 ms at 524k when
+    dropping an overshot 936 -> 512).  Returns the smallest multiple
+    of 8 >= ``headroom`` x the current max column population
+    (particles drift, so leave room; column overflow is counted per
+    step in StepMetrics.bin_overflow — raise the cap if it ever goes
+    nonzero).
+
+    Host-side helper (concrete values, not traced): call it on the
+    initial state and bake the result into the config.
+    """
+    import numpy as np
+
+    cid, _ = cell_id(state.pos, state.alive, cfg, None)
+    g = cfg.grid_size
+    col = np.asarray(cid) // g                 # column = g consecutive cells
+    col = col[np.asarray(state.alive)]
+    col = col[col < g * g]                     # drop sentinel bin
+    occ = np.bincount(col.astype(np.int64), minlength=g * g).max() if \
+        col.size else 0
+    want = int(np.ceil(occ * headroom / 8.0) * 8)
+    return max(minimum, want)
