@@ -320,3 +320,22 @@ def test_packed_rb_solver_x_zero_matches(rand3d):
         b = lin_solve3d_rb_packed(0, z, x0, 1.0, 6.0, 4, tx=4, fuse=2,
                                   x_zero=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_advect_self_matches_general_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
+    rng = np.random.default_rng(9)
+    n = 14
+    cfg = stam.StamConfig(n=n, dt=0.03)
+    shape = (n + 2,) * 3
+    u, v, w = (jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
+               for _ in range(3))
+    with pltpu.force_tpu_interpret_mode():
+        gen = advect3d_multi_pallas((u, v, w), (1, 2, 3), u, v, w,
+                                    float(cfg.dt * n), tx=4)
+        slf = advect3d_multi_pallas((u, v, w), (1, 2, 3), u, v, w,
+                                    float(cfg.dt * n), tx=4,
+                                    self_advect=True)
+    for a, b in zip(gen, slf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -173,7 +173,10 @@ class SPHConfig:
 
 
 # Base variant preset: FluidGPU.cuh:1-31 + solver.cu scene constants.
-BASE_CONFIG = SPHConfig()
+# pallas_col_cap 80: the dam column's max (x,y)-column population is
+# 64 over the full 4000-step run (verify/_occ_probe.py) — the default
+# 128 doubles the force kernel's padded tile work for nothing
+BASE_CONFIG = SPHConfig(pallas_col_cap=80)
 
 # unidyn variant preset: FluidGPU-unidyn.cuh:1-36.
 UNIDYN_CONFIG = SPHConfig(

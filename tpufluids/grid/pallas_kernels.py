@@ -497,7 +497,7 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24):
 
 
 def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
-                   dt0, bnds, pipeline):
+                   dt0, bnds, pipeline, self_advect):
     """rest = (field_hbm..., out_hbm..., vbuf, in_sems, out_sems).
     Advect k fields by (u,v,w) with one shared set of backtrace weights
     (the XLA path recomputes them per field).
@@ -507,18 +507,23 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
     register-spills far past the VMEM limit (measured 214M at 256^3
     with tx=8), while per-plane temporaries are ~400 KB each.  Outputs
     go to dedicated plane buffers (in-place window writes would corrupt
-    the dx=-1 taps of the next plane)."""
+    the dx=-1 taps of the next plane).
+
+    ``self_advect``: the advected fields ARE (u, v, w) — the velocity
+    self-advection pass — so no field inputs exist and the velocity
+    windows double as field windows (halves the input DMA traffic)."""
     k = len(bnds)
-    f_hbm = rest[:k]
-    o_hbm = rest[k:2 * k]
-    vbuf, in_sems, out_sems = rest[2 * k:2 * k + 3]
+    nf = 0 if self_advect else k
+    f_hbm = rest[:nf]
+    o_hbm = rest[nf:nf + k]
+    vbuf, in_sems, out_sems = rest[nf + k:nf + k + 3]
     p = tx + 2
-    n_in = 3 + k
+    n_in = 3 + nf
 
     def compute(refs, wlo):
         vu, vv, vw = refs[:3]
-        vf = refs[3:3 + k]
-        vo = refs[3 + k:3 + 2 * k]
+        vf = refs[:3] if self_advect else refs[3:3 + k]
+        vo = refs[n_in:n_in + k]
         pshape = (1,) + vu.shape[1:]
         jj = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
         kk = jax.lax.broadcasted_iota(jnp.int32, pshape, 2)
@@ -588,9 +593,10 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
                   compute=compute, pipeline=pipeline, n_bufs=n_in + k)
 
 
-@functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx"))
+@functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx",
+                                             "self_advect"))
 def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
-                          tx: int = 8):
+                          tx: int = 8, self_advect: bool = False):
     """Fused 27-tap stencil advection of ``fields`` (tuple) by (u,v,w).
 
     Equivalent to calling stam.advect3d_stencil per field, but the
@@ -598,9 +604,15 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     VMEM together.  The compute body streams per output plane (see
     _advect_kernel), so the window buffers are the only VMEM cost and
     the double-buffered pipeline fits.
+
+    ``self_advect=True`` (STATIC; caller asserts fields == (u, v, w))
+    skips the duplicate field windows — the uvw pass would otherwise
+    DMA the same three arrays twice.
     """
     k = len(fields)
     assert len(bnds) == k
+    if self_advect:
+        assert k == 3
     n_full, y_true, z_true = u.shape
     yp = -(-y_true // 8) * 8
     zp = -(-z_true // 128) * 128
@@ -611,8 +623,9 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
             if padded else a
 
     u_, v_, w_ = pad(u), pad(v), pad(w)
-    fs = [pad(f) for f in fields]
-    n_bufs = 3 + 2 * k
+    fs = [] if self_advect else [pad(f) for f in fields]
+    n_in = 3 + len(fs)
+    n_bufs = n_in + k
     # the per-plane compute body keeps ~46 plane-sized temporaries
     # live (measured at 512^3: 58M of spills+temps beside the 80M
     # window scratch); budget only what they leave of the VMEM limit
@@ -629,11 +642,12 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
 
     kern = functools.partial(
         _advect_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1,
-        tx=tx, dt0=dt0, bnds=bnds, pipeline=pipeline)
+        tx=tx, dt0=dt0, bnds=bnds, pipeline=pipeline,
+        self_advect=self_advect)
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 + k),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * k),
         out_shape=tuple(
             jax.ShapeDtypeStruct(u_.shape, jnp.float32) for _ in range(k)),

@@ -714,7 +714,8 @@ def step3d(state: GridState3D, cfg: StamConfig,
         from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
         n = u.shape[0] - 2
         u, v, w = advect3d_multi_pallas((u0, v0, w0), (1, 2, 3),
-                                        u0, v0, w0, float(cfg.dt * n))
+                                        u0, v0, w0, float(cfg.dt * n),
+                                        self_advect=True)
     else:
         u = _advect3(1, u0, u0, v0, w0, cfg)
         v = _advect3(2, v0, u0, v0, w0, cfg)

@@ -114,6 +114,10 @@ def main():
     timeit("advect3d_multi (uvw, piped, default)",
            lambda: pk.advect3d_multi_pallas((u, v, w), (1, 2, 3), u, v, w,
                                             dt * n), reps=reps)
+    timeit("advect3d_multi (uvw, self_advect)",
+           lambda: pk.advect3d_multi_pallas((u, v, w), (1, 2, 3), u, v, w,
+                                            dt * n, self_advect=True),
+           reps=reps)
     timeit("advect3d_multi (dens+temp, piped, default)",
            lambda: pk.advect3d_multi_pallas((d, t_), (0, 0), u, v, w,
                                             dt * n), reps=reps)
