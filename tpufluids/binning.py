@@ -141,7 +141,17 @@ def sort_by_cell(state: ParticleState, cfg: SPHConfig,
     tables (9 gather passes) — the Pallas force backend derives its
     windows from ``cell_start`` alone."""
     cid, _ = cell_id(state.pos, state.alive, cfg, grid)
-    order = jnp.argsort(cid, stable=True)
+    n = cid.shape[0]
+    num_cells = (grid or full_grid(cfg)).num_cells
+    if (num_cells + 1) * n <= 2 ** 31 - 1:
+        # pack (cid, row) into ONE int32 key: a single-operand sort
+        # runs ~2x faster than the two-operand stable argsort (which
+        # drags the index array through every bitonic stage), and the
+        # unique row bits make the order identical to the stable sort
+        key = cid * n + jnp.arange(n, dtype=jnp.int32)
+        order = jnp.sort(key) % n
+    else:
+        order = jnp.argsort(cid, stable=True)
     state = permute_pool(state, order)
     bt = build_bins(state, cfg, order=order, grid=grid, runs=runs)
     return state, bt
