@@ -339,3 +339,26 @@ def test_advect_self_matches_general_interpret():
                                     self_advect=True)
     for a, b in zip(gen, slf):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_advect_unpipelined_matches_stencil_interpret():
+    """The single-slot streaming branch (chosen on very large planes
+    where double-buffered windows exceed VMEM) against the dense
+    stencil reference."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
+    rng = np.random.default_rng(11)
+    n = 14
+    cfg = stam.StamConfig(n=n, dt=0.03)
+    shape = (n + 2,) * 3
+    u, v, w = (jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
+               for _ in range(3))
+    d = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+    refs = [stam.advect3d_stencil(b, q, u, v, w, cfg)
+            for b, q in ((0, d), (1, u))]
+    with pltpu.force_tpu_interpret_mode():
+        outs = advect3d_multi_pallas((d, u), (0, 1), u, v, w,
+                                     float(cfg.dt * n), tx=4,
+                                     pipeline=False)
+    for r, o in zip(refs, outs):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-6)

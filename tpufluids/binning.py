@@ -102,8 +102,10 @@ class BinTable(NamedTuple):
 
 def permute_pool(state, order):
     """Apply a row permutation to every pool array as ONE packed row
-    gather: the leaves are flattened to (N, k) float32 views (bools
-    widened, ints bitcast — both exact round trips), concatenated to a
+    gather: the leaves are flattened to (N, k) int32 views (bools
+    widened, floats bitcast — exact round trips; int32 rather than
+    float32 as the carrier because TPU vector ops flush f32 subnormals,
+    which would zero small bitcast integer payloads), concatenated to a
     single (N, 33) matrix, gathered once, and split back.  TPU gathers
     pay a fixed cost per index, so one 132-byte row gather beats the
     15 narrow per-field gathers of the naive tree_map by ~4x."""
@@ -113,11 +115,14 @@ def permute_pool(state, order):
     for a in leaves:
         flat = a.reshape(n, -1)
         if flat.dtype == jnp.bool_:
-            f = flat.astype(jnp.float32)
+            f = flat.astype(jnp.int32)
+        elif flat.dtype == jnp.float32:
+            f = jax.lax.bitcast_convert_type(flat, jnp.int32)
         elif flat.dtype == jnp.int32:
-            f = jax.lax.bitcast_convert_type(flat, jnp.float32)
+            f = flat
         else:
-            f = flat.astype(jnp.float32)
+            raise TypeError(f"permute_pool: unsupported leaf dtype "
+                            f"{flat.dtype}")
         metas.append((a.shape, a.dtype, flat.shape[1]))
         cols.append(f)
     packed = jnp.concatenate(cols, axis=1)[order]
@@ -126,9 +131,9 @@ def permute_pool(state, order):
         seg = packed[:, off:off + w]
         off += w
         if dtype == jnp.bool_:
-            seg = seg > 0.5
-        elif dtype == jnp.int32:
-            seg = jax.lax.bitcast_convert_type(seg, jnp.int32)
+            seg = seg != 0
+        elif dtype == jnp.float32:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
         out.append(seg.reshape(shape))
     return jax.tree_util.tree_unflatten(treedef, out)
 

@@ -248,7 +248,12 @@ def _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, *, slots=2,
     the scratch budget (large grids fall back to thin tiles: the plane
     footprint yp*zp grows quadratically with n).  ``budget`` covers the
     window buffers only — it must leave VMEM headroom for the compute
-    body's temporaries (register spills scale with the window size)."""
+    body's temporaries (register spills scale with the window size).
+
+    Floors at tx=1 even when that minimal window still exceeds the
+    budget (possible for very large planes): the budget is advisory —
+    the pallas_call vmem_limit stays the hard bound — and callers with
+    heavy compute bodies provide a slots=1 fallback for that regime."""
     plane = yp * zp * dtype_size
     max_p = budget // (slots * n_bufs * plane)
     return max(1, min(tx_want, max_p - 2 * halo, n_full - 2 * halo))
@@ -583,6 +588,12 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
         is_first = wlo == 0
         is_last = wlo == n_full - p
         for q in range(k):
+            # seed the never-computed edge planes from the input field
+            # (their retained values are either face-fix overwritten or
+            # outside the export span; the copy just keeps every VMEM
+            # read below initialized, per the kernel conventions)
+            vo[q][pl.ds(0, 1)] = plane(vf[q], 0)
+            vo[q][pl.ds(p - 1, 1)] = plane(vf[q], p - 1)
             sx, sy, sz = _bnd_scales(bnds[q])
             _face_fix_ref(vo[q], is_first, is_last, p=p, sx=sx, sy=sy,
                           sz=sz, y_hi=y_hi, z_hi=z_hi)
@@ -594,9 +605,10 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
 
 
 @functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx",
-                                             "self_advect"))
+                                             "self_advect", "pipeline"))
 def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
-                          tx: int = 8, self_advect: bool = False):
+                          tx: int = 8, self_advect: bool = False,
+                          pipeline: bool = None):
     """Fused 27-tap stencil advection of ``fields`` (tuple) by (u,v,w).
 
     Equivalent to calling stam.advect3d_stencil per field, but the
@@ -632,11 +644,16 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     plane = yp * zp * 4
     budget = max(16 * 1024 * 1024,
                  112 * 1024 * 1024 - 46 * plane)
+    want = tx
     tx = _fit_tx(tx, n_bufs, 1, n_full, yp, zp, budget=budget)
-    pipeline = tx >= 4
+    auto = pipeline is None
+    if auto:
+        pipeline = tx >= 4
     if not pipeline:
-        tx = _fit_tx(8, n_bufs, 1, n_full, yp, zp, slots=1,
-                     budget=budget)
+        # auto fallback: unpipelined frees a slot, retry a wide tile;
+        # explicit pipeline=False keeps the caller's tile request
+        tx = _fit_tx(8 if auto else want, n_bufs, 1, n_full, yp, zp,
+                     slots=1, budget=budget)
     p = tx + 2
     grid = (pl.cdiv(n_full, tx),)
 
@@ -839,7 +856,8 @@ def rb_packed_plan(shape, iters):
                      budget=70 * 1024 * 1024)
         if tx >= 1:
             return tx, fuse, False
-    return 1, 1, False
+    raise AssertionError("unreachable: fuse=1 always divides iters "
+                         "and _fit_tx floors at tx=1")
 
 
 def _solve_rb_packed_pipe_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,

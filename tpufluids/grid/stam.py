@@ -485,6 +485,16 @@ def _dct_axis(a, m, ax, prec):
     return jnp.moveaxis(out, 0, ax)
 
 
+def _dct_mats(n):
+    """(forward DCT-II matrix (q,i), inverse DCT matrix (i,q),
+    per-axis Neumann-Laplacian eigenvalues) for extent ``n``."""
+    i = jnp.arange(n, dtype=jnp.float32)
+    C = jnp.cos(jnp.pi / n * i[:, None] * (i[None, :] + 0.5))
+    Ci = C.T * (jnp.where(i == 0, 1.0, 2.0) / n)
+    lam1 = 2.0 - 2.0 * jnp.cos(jnp.pi * i / n)
+    return C, Ci, lam1
+
+
 def _dct_solve_interior(xi):
     """Exact Neumann-Poisson solve on an interior array of any rank.
 
@@ -502,11 +512,8 @@ def _dct_solve_interior(xi):
     lam = 0.0
     invs = []
     for ax, n in enumerate(xi.shape):
-        i = jnp.arange(n, dtype=jnp.float32)
-        C = jnp.cos(jnp.pi / n * i[:, None] * (i[None, :] + 0.5))
-        Ci = C.T * (jnp.where(i == 0, 1.0, 2.0) / n)
+        C, Ci, lam1 = _dct_mats(n)
         xi = _dct_axis(xi, C, ax, prec)
-        lam1 = 2.0 - 2.0 * jnp.cos(jnp.pi * i / n)
         lam = lam + lam1.reshape((-1,) + (1,) * (nd - 1 - ax))
         invs.append(Ci)
     coef = xi / jnp.where(lam == 0.0, 1.0, lam)

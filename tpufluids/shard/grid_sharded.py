@@ -185,14 +185,13 @@ def _dct_solve_local(x0, n, n_dev):
     contracts the sharded axis as a per-device partial matmul followed
     by ``psum_scatter`` — one reduce-scatter over ICI each way, versus
     the iterative solver's 2 halo exchanges per iteration."""
+    from tpufluids.grid.stam import _dct_axis, _dct_mats
+
     prec = jax.lax.Precision.HIGHEST
     c = x0.shape[0]
     off = jax.lax.axis_index(AXIS) * c
     xi = x0[:, 1:-1, 1:-1]
-    i = jnp.arange(n, dtype=jnp.float32)
-    C = jnp.cos(jnp.pi / n * i[:, None] * (i[None, :] + 0.5))
-    Ci = C.T * (jnp.where(i == 0, 1.0, 2.0) / n)
-    lam1 = 2.0 - 2.0 * jnp.cos(jnp.pi * i / n)
+    C, Ci, lam1 = _dct_mats(n)
 
     def xmul(a, m):
         cols = jax.lax.dynamic_slice_in_dim(m, off, c, axis=1)
@@ -204,9 +203,7 @@ def _dct_solve_local(x0, n, n_dev):
                                     tiled=True)
 
     def t_ax(a, m, ax):
-        out = jnp.tensordot(m, jnp.moveaxis(a, ax, 0),
-                            axes=((1,), (0,)), precision=prec)
-        return jnp.moveaxis(out, 0, ax)
+        return _dct_axis(a, m, ax, prec)
 
     F = xmul(xi, C)
     F = t_ax(F, C, 1)
