@@ -362,3 +362,31 @@ def test_advect_unpipelined_matches_stencil_interpret():
                                      pipeline=False)
     for r, o in zip(refs, outs):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-6)
+
+
+def test_step3d_padded_flow_matches_dense_interpret():
+    """The pad-once step (fields padded at entry, threaded through all
+    kernels via true_extents) against the dense XLA step."""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.default_rng(12)
+    n = 14
+    kw = dict(n=n, dt=0.02, jacobi_iters=4, red_black=True,
+              advect_mode="stencil", buoyancy_beta=0.5,
+              buoyancy_alpha=0.05, vorticity_eps=1.0)
+    cfg_p = stam.StamConfig(solver_backend="pallas", **kw)
+    cfg_x = stam.StamConfig(solver_backend="xla", **kw)
+    shape = (n + 2,) * 3
+    s = stam.GridState3D(
+        u=jnp.asarray(rng.normal(0, 0.3, shape), jnp.float32),
+        v=jnp.asarray(rng.normal(0, 0.3, shape), jnp.float32),
+        w=jnp.asarray(rng.normal(0, 0.3, shape), jnp.float32),
+        dens=jnp.asarray(rng.uniform(0, 1, shape), jnp.float32),
+        temp=jnp.asarray(rng.uniform(0, 1, shape), jnp.float32))
+    ref, res_ref = stam.step3d(s, cfg_x, with_residual=True)
+    with pltpu.force_tpu_interpret_mode():
+        got, res_got = stam.step3d(s, cfg_p, with_residual=True)
+    for f in ("u", "v", "w", "dens", "temp"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(ref, f)),
+                                   atol=5e-6, err_msg=f)
+    np.testing.assert_allclose(float(res_got), float(res_ref), atol=1e-5)

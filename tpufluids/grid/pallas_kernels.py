@@ -259,6 +259,33 @@ def _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, *, slots=2,
     return max(1, min(tx_want, max_p - 2 * halo, n_full - 2 * halo))
 
 
+def _pad_setup(arrays, true_extents):
+    """Resolve the lane/sublane-padded layout for a kernel wrapper.
+
+    With ``true_extents=None`` (standalone use) the arrays carry their
+    true extents: pad y to a multiple of 8 and z to a multiple of 128
+    here, and the caller slices outputs back.  With ``true_extents=
+    (y_true, z_true)`` the arrays are ALREADY padded (the step pads
+    its five fields once and threads them through every kernel, which
+    removes ~21 full-field pad ops and the matching output slices
+    from the compiled 256^3 step) and outputs stay padded.
+
+    Returns (arrays, n_full, y_true, z_true, yp, zp, slice_out)."""
+    n_full = arrays[0].shape[0]
+    if true_extents is None:
+        y_true, z_true = arrays[0].shape[1], arrays[0].shape[2]
+        yp = -(-y_true // 8) * 8
+        zp = -(-z_true // 128) * 128
+        padded = (yp != y_true) or (zp != z_true)
+        if padded:
+            arrays = [jnp.pad(a, ((0, 0), (0, yp - y_true),
+                                  (0, zp - z_true))) for a in arrays]
+        return list(arrays), n_full, y_true, z_true, yp, zp, padded
+    y_true, z_true = true_extents
+    return (list(arrays), n_full, y_true, z_true, arrays[0].shape[1],
+            arrays[0].shape[2], False)
+
+
 # ---------------------------------------------------------------------------
 # fused buoyancy + vorticity-confinement forcing
 
@@ -323,22 +350,15 @@ def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dt", "h", "eps", "b_alpha", "b_beta", "t_amb", "tx"))
+    "dt", "h", "eps", "b_alpha", "b_beta", "t_amb", "tx",
+    "true_extents"))
 def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
                      b_alpha: float, b_beta: float, t_amb: float,
-                     tx: int = 4):
+                     tx: int = 4, true_extents=None):
     """Fused buoyancy + vorticity confinement (stam.buoyancy3d followed
     by stam.vorticity_confinement3d), one HBM pass."""
-    n_full, y_true, z_true = u.shape
-    yp = -(-y_true // 8) * 8
-    zp = -(-z_true // 128) * 128
-    padded = (yp != y_true) or (zp != z_true)
-
-    def pad(a):
-        return jnp.pad(a, ((0, 0), (0, yp - y_true), (0, zp - z_true))) \
-            if padded else a
-
-    ins = [pad(a) for a in (u, v, w, dens, temp)]
+    ins, n_full, y_true, z_true, yp, zp, padded = _pad_setup(
+        (u, v, w, dens, temp), true_extents)
     tx = _fit_tx(tx, 5, 2, n_full, yp, zp, budget=50 * 1024 * 1024)
     p = tx + 4
     kern = functools.partial(
@@ -394,21 +414,13 @@ def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
                   compute=compute)
 
 
-@functools.partial(jax.jit, static_argnames=("tx",))
-def div3d_pallas(u, v, w, tx: int = 32):
+@functools.partial(jax.jit, static_argnames=("tx", "true_extents"))
+def div3d_pallas(u, v, w, tx: int = 32, true_extents=None):
     """Fused ``set_bnd3d(0, zeros.at[1:-1,...].set(divergence3d(u,v,w)))``
     — one HBM pass instead of ~6 full-array copies."""
-    n_full, y_true, z_true = u.shape
+    ins, n_full, y_true, z_true, yp, zp, padded = _pad_setup(
+        (u, v, w), true_extents)
     h = 1.0 / (n_full - 2)
-    yp = -(-y_true // 8) * 8
-    zp = -(-z_true // 128) * 128
-    padded = (yp != y_true) or (zp != z_true)
-
-    def pad(a):
-        return jnp.pad(a, ((0, 0), (0, yp - y_true), (0, zp - z_true))) \
-            if padded else a
-
-    ins = [pad(a) for a in (u, v, w)]
     tx = _fit_tx(tx, 3, 1, n_full, yp, zp,
                  budget=70 * 1024 * 1024)
     p = tx + 2
@@ -461,21 +473,13 @@ def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
                   n_full=n_full, tx=tx, halo=1, compute=compute)
 
 
-@functools.partial(jax.jit, static_argnames=("tx",))
-def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24):
+@functools.partial(jax.jit, static_argnames=("tx", "true_extents"))
+def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None):
     """Fused pressure-gradient subtraction + per-component set_bnd
     (the tail of stam.project3d), one HBM pass."""
-    n_full, y_true, z_true = u.shape
+    ins, n_full, y_true, z_true, yp, zp, padded = _pad_setup(
+        (p_arr, u, v, w), true_extents)
     h = 1.0 / (n_full - 2)
-    yp = -(-y_true // 8) * 8
-    zp = -(-z_true // 128) * 128
-    padded = (yp != y_true) or (zp != z_true)
-
-    def pad(a):
-        return jnp.pad(a, ((0, 0), (0, yp - y_true), (0, zp - z_true))) \
-            if padded else a
-
-    ins = [pad(a) for a in (p_arr, u, v, w)]
     tx = _fit_tx(tx, 4, 1, n_full, yp, zp, budget=60 * 1024 * 1024)
     pw = tx + 2
     kern = functools.partial(_gradsub_kernel, n_full=n_full,
@@ -605,10 +609,11 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
 
 
 @functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx",
-                                             "self_advect", "pipeline"))
+                                             "self_advect", "pipeline",
+                                             "true_extents"))
 def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
                           tx: int = 8, self_advect: bool = False,
-                          pipeline: bool = None):
+                          pipeline: bool = None, true_extents=None):
     """Fused 27-tap stencil advection of ``fields`` (tuple) by (u,v,w).
 
     Equivalent to calling stam.advect3d_stencil per field, but the
@@ -625,17 +630,10 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     assert len(bnds) == k
     if self_advect:
         assert k == 3
-    n_full, y_true, z_true = u.shape
-    yp = -(-y_true // 8) * 8
-    zp = -(-z_true // 128) * 128
-    padded = (yp != y_true) or (zp != z_true)
-
-    def pad(a):
-        return jnp.pad(a, ((0, 0), (0, yp - y_true), (0, zp - z_true))) \
-            if padded else a
-
-    u_, v_, w_ = pad(u), pad(v), pad(w)
-    fs = [] if self_advect else [pad(f) for f in fields]
+    arrs, n_full, y_true, z_true, yp, zp, padded = _pad_setup(
+        (u, v, w) + (() if self_advect else tuple(fields)), true_extents)
+    u_, v_, w_ = arrs[:3]
+    fs = arrs[3:]
     n_in = 3 + len(fs)
     n_bufs = n_in + k
     # the per-plane compute body keeps ~46 plane-sized temporaries
@@ -882,10 +880,11 @@ def _solve_rb_packed_pipe_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
 
 @functools.partial(jax.jit, static_argnames=("b", "a", "c", "iters",
                                               "tx", "fuse", "pipeline",
-                                              "x_zero"))
+                                              "x_zero", "true_extents"))
 def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
                           tx: int = 24, fuse: int = 2,
-                          pipeline: bool = True, x_zero: bool = False):
+                          pipeline: bool = True, x_zero: bool = False,
+                          true_extents=None):
     """Red-black solver on the packed checkerboard layout — each
     half-sweep computes only its active cells (~1.9x less VPU work than
     the masked formulation).  Bit-compatible with
@@ -893,14 +892,21 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
 
     ``x_zero=True`` asserts the initial guess is all zeros (the
     pressure projection's) and skips packing it — two full-field
-    select passes."""
-    n_full, y_true, z_true = x.shape
-    yp = -(-y_true // 8) * 8
-    zp = -(-z_true // 128) * 128
-    if (yp != y_true) or (zp != z_true):
-        if not x_zero:
-            x = jnp.pad(x, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
-        x0 = jnp.pad(x0, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
+    select passes.  ``true_extents``: pre-padded in/out (_pad_setup)."""
+    if true_extents is None:
+        n_full, y_true, z_true = x.shape
+        yp = -(-y_true // 8) * 8
+        zp = -(-z_true // 128) * 128
+        if (yp != y_true) or (zp != z_true):
+            if not x_zero:
+                x = jnp.pad(x, ((0, 0), (0, yp - y_true),
+                                (0, zp - z_true)))
+            x0 = jnp.pad(x0, ((0, 0), (0, yp - y_true),
+                              (0, zp - z_true)))
+    else:
+        n_full = x0.shape[0]
+        y_true, z_true = true_extents
+        yp, zp = x0.shape[1], x0.shape[2]
     sx, sy, sz = _bnd_scales(b)
 
     # pack: A/B rows interleave along y with plane/lane-dependent offset
@@ -966,6 +972,8 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
     out = jnp.zeros((n_full, yp, zp), jnp.float32)
     out = out.at[:, 0::2, :].set(jnp.where(r0, A, B))
     out = out.at[:, 1::2, :].set(jnp.where(r0, B, A))
+    if true_extents is not None:
+        return out
     return out[:, :y_true, :z_true]
 
 

@@ -211,7 +211,7 @@ def _use_pallas(cfg):
 
 
 def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False,
-                 x_zero=False):
+                 x_zero=False, true_extents=None):
     if _use_pallas(cfg):
         from tpufluids.grid.pallas_kernels import lin_solve3d_pallas
         if red_black and cfg.solver_dtype != "bfloat16":
@@ -221,10 +221,12 @@ def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False,
             # (17.0 ms standalone vs 17.5 unpipelined, 19.6 at tx=32);
             # the plan degrades fuse/tx/pipelining for grids whose
             # double-buffered windows exceed the VMEM budget.
-            tx, fuse, pipe = rb_packed_plan(x.shape, iters)
+            tx, fuse, pipe = rb_packed_plan(x0.shape, iters)
             return lin_solve3d_rb_packed(b, x, x0, float(a), float(c),
                                          iters, fuse=fuse, tx=tx,
-                                         pipeline=pipe, x_zero=x_zero)
+                                         pipeline=pipe, x_zero=x_zero,
+                                         true_extents=true_extents)
+        assert true_extents is None, "padded flow needs red_black"
         fuse = 2 if iters % 2 == 0 else 1
         halo = (2 if red_black else 1) * fuse
         tx = max(1, min(24, x.shape[0] - 2 * halo))
@@ -539,22 +541,44 @@ def dct_solve2d(x0, cfg=None):
     return set_bnd2d(0, p)
 
 
-def project3d(u, v, w, cfg, with_residual: bool = False):
+def project3d(u, v, w, cfg, with_residual: bool = False,
+              true_extents=None):
     n = u.shape[0] - 2
     h = 1.0 / n
+    te = true_extents
     if _use_pallas(cfg) and n + 2 >= 16:
         from tpufluids.grid.pallas_kernels import (div3d_pallas,
                                                    gradsub3d_pallas)
-        div = div3d_pallas(u, v, w)
+        div = div3d_pallas(u, v, w, true_extents=te)
+        # the packed red-black solver consumes/produces the padded
+        # layout directly; multigrid/DCT solve on true extents (one
+        # slice/re-pad round trip, only for those options)
+        rb_fast = (cfg.projection not in ("multigrid", "dct")
+                   and cfg.red_black and cfg.solver_dtype != "bfloat16")
+        unpad = ((lambda a: a) if te is None
+                 else (lambda a: a[:, :te[0], :te[1]]))
+        repad = ((lambda a: a) if te is None
+                 else (lambda a: jnp.pad(
+                     a, ((0, 0), (0, u.shape[1] - te[0]),
+                         (0, u.shape[2] - te[1])))))
         if cfg.projection == "multigrid":
-            p = mg_solve3d(div, cfg)
+            p = repad(mg_solve3d(unpad(div), cfg))
         elif cfg.projection == "dct":
-            p = dct_solve3d(div, cfg)
-        else:
+            p = repad(dct_solve3d(unpad(div), cfg))
+        elif rb_fast:
             p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
                              cfg.jacobi_iters, cfg,
-                             red_black=cfg.red_black, x_zero=True)
-        u, v, w = gradsub3d_pallas(p, u, v, w)
+                             red_black=cfg.red_black, x_zero=True,
+                             true_extents=te)
+        else:
+            p = repad(_lin_solve3d(0, jnp.zeros_like(unpad(u)),
+                                   unpad(div), 1.0, 6.0,
+                                   cfg.jacobi_iters, cfg,
+                                   red_black=cfg.red_black,
+                                   x_zero=True))
+        u, v, w = gradsub3d_pallas(p, u, v, w, true_extents=te)
+        if with_residual:
+            return u, v, w, poisson_residual3d(unpad(p), unpad(div))
     else:
         div = jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1].set(
             divergence3d(u, v, w))
@@ -687,7 +711,13 @@ def step2d(state: GridState2D, cfg: StamConfig,
 
 def step3d(state: GridState3D, cfg: StamConfig,
            sources: Optional[dict] = None, with_residual: bool = False):
-    """One 3D step with set_bnd walls; configs 2-4 of BASELINE.json."""
+    """One 3D step with set_bnd walls; configs 2-4 of BASELINE.json.
+
+    On the Pallas/stencil path the five fields are padded to the
+    lane/sublane-aligned layout ONCE here and threaded through every
+    kernel via ``true_extents`` — per-wrapper padding cost ~21
+    full-field pad ops plus matching output slices per compiled step
+    at 256^3 (HLO-verified)."""
     u, v, w, dens, temp = state.u, state.v, state.w, state.dens, state.temp
     if sources:
         u = u + cfg.dt * sources.get("fu", 0.0)
@@ -695,50 +725,76 @@ def step3d(state: GridState3D, cfg: StamConfig,
         w = w + cfg.dt * sources.get("fw", 0.0)
         dens = dens + cfg.dt * sources.get("dens", 0.0)
         temp = temp + cfg.dt * sources.get("temp", 0.0)
+
+    n_ = u.shape[0] - 2
+    fused_advect = (_use_pallas(cfg) and cfg.advect_mode == "stencil"
+                    and n_ + 2 >= 16)
+    te = None
+    if fused_advect:
+        y_true, z_true = u.shape[1], u.shape[2]
+        yp = -(-y_true // 8) * 8
+        zp = -(-z_true // 128) * 128
+        te = (y_true, z_true)
+
+        def _pad(a):
+            return jnp.pad(a, ((0, 0), (0, yp - y_true),
+                               (0, zp - z_true)))
+
+        def _unpad(a):
+            return a[:, :y_true, :z_true]
+
+        u, v, w, dens, temp = map(_pad, (u, v, w, dens, temp))
+    else:
+        _pad = _unpad = lambda a: a
+
     if _use_pallas(cfg) and (cfg.buoyancy_alpha or cfg.buoyancy_beta
                              or cfg.vorticity_eps):
         from tpufluids.grid.pallas_kernels import forcing3d_pallas
-        n_ = u.shape[0] - 2
         # tx=16 measured best at 256^3 (the wrapper's VMEM fit shrinks
         # the tile for small or very large grids)
         u, v, w = forcing3d_pallas(
             u, v, w, dens, temp, float(cfg.dt), 1.0 / n_,
             float(cfg.vorticity_eps), float(cfg.buoyancy_alpha),
-            float(cfg.buoyancy_beta), float(cfg.ambient_temp), tx=16)
+            float(cfg.buoyancy_beta), float(cfg.ambient_temp), tx=16,
+            true_extents=te)
     else:
         if cfg.buoyancy_alpha or cfg.buoyancy_beta:
-            w = buoyancy3d(w, dens, temp, cfg)
+            w = _pad(buoyancy3d(_unpad(w), _unpad(dens), _unpad(temp),
+                                cfg))
         if cfg.vorticity_eps:
-            u, v, w = vorticity_confinement3d(u, v, w, cfg)
+            uu, vv, ww = vorticity_confinement3d(_unpad(u), _unpad(v),
+                                                 _unpad(w), cfg)
+            u, v, w = _pad(uu), _pad(vv), _pad(ww)
     if cfg.visc:
-        u = diffuse3d(1, u, cfg, cfg.visc)
-        v = diffuse3d(2, v, cfg, cfg.visc)
-        w = diffuse3d(3, w, cfg, cfg.visc)
-    u, v, w = project3d(u, v, w, cfg)
+        u = _pad(diffuse3d(1, _unpad(u), cfg, cfg.visc))
+        v = _pad(diffuse3d(2, _unpad(v), cfg, cfg.visc))
+        w = _pad(diffuse3d(3, _unpad(w), cfg, cfg.visc))
+    u, v, w = project3d(u, v, w, cfg, true_extents=te)
     u0, v0, w0 = u, v, w
-    fused_advect = _use_pallas(cfg) and cfg.advect_mode == "stencil"
     if fused_advect:
         from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
-        n = u.shape[0] - 2
         u, v, w = advect3d_multi_pallas((u0, v0, w0), (1, 2, 3),
-                                        u0, v0, w0, float(cfg.dt * n),
-                                        self_advect=True)
+                                        u0, v0, w0, float(cfg.dt * n_),
+                                        self_advect=True,
+                                        true_extents=te)
     else:
         u = _advect3(1, u0, u0, v0, w0, cfg)
         v = _advect3(2, v0, u0, v0, w0, cfg)
         w = _advect3(3, w0, u0, v0, w0, cfg)
     if with_residual:
-        u, v, w, res = project3d(u, v, w, cfg, with_residual=True)
+        u, v, w, res = project3d(u, v, w, cfg, with_residual=True,
+                                 true_extents=te)
     else:
-        u, v, w = project3d(u, v, w, cfg)
+        u, v, w = project3d(u, v, w, cfg, true_extents=te)
     if cfg.diff:
-        dens = diffuse3d(0, dens, cfg, cfg.diff)
+        dens = _pad(diffuse3d(0, _unpad(dens), cfg, cfg.diff))
     if cfg.temp_diff:
-        temp = diffuse3d(0, temp, cfg, cfg.temp_diff)
+        temp = _pad(diffuse3d(0, _unpad(temp), cfg, cfg.temp_diff))
     if fused_advect:
-        n = u.shape[0] - 2
         dens, temp = advect3d_multi_pallas((dens, temp), (0, 0), u, v, w,
-                                           float(cfg.dt * n))
+                                           float(cfg.dt * n_),
+                                           true_extents=te)
+        u, v, w, dens, temp = map(_unpad, (u, v, w, dens, temp))
     else:
         dens = _advect3(0, dens, u, v, w, cfg)
         temp = _advect3(0, temp, u, v, w, cfg)
