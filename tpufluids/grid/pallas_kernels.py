@@ -915,13 +915,20 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
     r0 = ((ii + kz + 1) % 2) == 0
     yh = yp // 2
     yhp = -(-yh // 8) * 8
+    def even_odd(q):
+        # lax.slice with stride (basic numpy stride indexing lowers to
+        # a GATHER + transpose pair on TPU; strided slice is one pass)
+        e = jax.lax.slice(q, (0, 0, 0), (n_full, yp - 1, zp), (1, 2, 1))
+        o = jax.lax.slice(q, (0, 1, 0), (n_full, yp, zp), (1, 2, 1))
+        return e, o
+
     if x_zero:
         A = B = jnp.zeros((n_full, yh, zp), jnp.float32)
     else:
-        xe, xo = x[:, 0::2, :], x[:, 1::2, :]
+        xe, xo = even_odd(x)
         A = jnp.where(r0, xe, xo)
         B = jnp.where(r0, xo, xe)
-    x0e, x0o = x0[:, 0::2, :], x0[:, 1::2, :]
+    x0e, x0o = even_odd(x0)
     A0 = jnp.where(r0, x0e, x0o)
     B0 = jnp.where(r0, x0o, x0e)
     # re-pad packed sublanes to a multiple of 8
@@ -966,12 +973,12 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
 
     A, B = jax.lax.fori_loop(0, passes, body, (A, B))
 
-    # unpack
+    # unpack: interleave even/odd rows via stack+reshape (the strided
+    # .at[::2].set scatter lowers to gather+transpose passes on TPU)
     if yhp != yh:
         A, B = A[:, :yh, :], B[:, :yh, :]
-    out = jnp.zeros((n_full, yp, zp), jnp.float32)
-    out = out.at[:, 0::2, :].set(jnp.where(r0, A, B))
-    out = out.at[:, 1::2, :].set(jnp.where(r0, B, A))
+    out = jnp.stack([jnp.where(r0, A, B), jnp.where(r0, B, A)],
+                    axis=2).reshape(n_full, yp, zp)
     if true_extents is not None:
         return out
     return out[:, :y_true, :z_true]
