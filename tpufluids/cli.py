@@ -52,8 +52,12 @@ def build_parser():
         p.add_argument("--size", type=int, default=None)
         p.add_argument("--jacobi-iters", type=int, default=20)
         p.add_argument("--red-black", action="store_true")
+        # grid3d_sharded has no sharded multigrid (make_sharded_step
+        # raises); restrict its choices so argparse reports it upfront
         p.add_argument("--projection", default="jacobi",
-                       choices=("jacobi", "multigrid", "dct"))
+                       choices=(("jacobi", "dct")
+                                if name == "grid3d_sharded" else
+                                ("jacobi", "multigrid", "dct")))
         p.add_argument("--vorticity", type=float, default=0.0)
         if name in ("plume3d", "grid3d"):
             p.add_argument("--mac", action="store_true",

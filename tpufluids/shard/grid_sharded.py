@@ -260,11 +260,52 @@ def _project_local(u, v, w, cfg, n, n_dev):
     return u, v, w, res
 
 
+def _vorticity_local(u, v, w, cfg, n, n_dev):
+    """Sharded twin of stam.vorticity_confinement3d: identical stencil
+    arithmetic on the halo-padded slab.  x ghosts are materialized
+    directly from the neighbor/face values WITHOUT re-running set_bnd
+    (the dense version reads whatever ghosts the previous set_bnd3d
+    left, which the sx-scaled face value reproduces exactly)."""
+    h = 1.0 / n
+    up = _halo_exchange(u, -1.0, n_dev)
+    vp = _halo_exchange(v, 1.0, n_dev)
+    wp = _halo_exchange(w, 1.0, n_dev)
+
+    def dx(q):
+        return 0.5 * (q[2:, 1:-1, 1:-1] - q[:-2, 1:-1, 1:-1]) / h
+
+    def dy(q):
+        return 0.5 * (q[1:-1, 2:, 1:-1] - q[1:-1, :-2, 1:-1]) / h
+
+    def dz(q):
+        return 0.5 * (q[1:-1, 1:-1, 2:] - q[1:-1, 1:-1, :-2]) / h
+
+    wx = dy(wp) - dz(vp)
+    wy = dz(up) - dx(wp)
+    wz = dx(vp) - dy(up)
+    mag_i = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    # dense keeps mag's ghost shell at 0 (zeros_like + interior set):
+    # local slab rows are all dense-interior, y/z ghosts zero, and the
+    # x halo at the domain edge is the dense ghost plane = 0.
+    mag = jnp.zeros_like(u).at[:, 1:-1, 1:-1].set(mag_i)
+    magp = _halo_exchange(mag, 0.0, n_dev)
+    gx, gy, gz = dx(magp), dy(magp), dz(magp)
+    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
+    gx, gy, gz = gx / norm, gy / norm, gz / norm
+    eps_h = cfg.vorticity_eps * h
+    u = u.at[:, 1:-1, 1:-1].add(cfg.dt * eps_h * (gy * wz - gz * wy))
+    v = v.at[:, 1:-1, 1:-1].add(cfg.dt * eps_h * (gz * wx - gx * wz))
+    w = w.at[:, 1:-1, 1:-1].add(cfg.dt * eps_h * (gx * wy - gy * wx))
+    return _set_bnd_yz(1, u), _set_bnd_yz(2, v), _set_bnd_yz(3, w)
+
+
 def _step_local(u, v, w, dens, temp, cfg: StamConfig, n: int, n_dev: int):
     if cfg.buoyancy_alpha or cfg.buoyancy_beta:
         f = (-cfg.buoyancy_alpha * dens[:, 1:-1, 1:-1]
              + cfg.buoyancy_beta * (temp[:, 1:-1, 1:-1] - cfg.ambient_temp))
         w = _set_bnd_yz(3, w.at[:, 1:-1, 1:-1].add(cfg.dt * f))
+    if cfg.vorticity_eps:
+        u, v, w = _vorticity_local(u, v, w, cfg, n, n_dev)
     if cfg.visc:
         a = cfg.dt * cfg.visc * n * n
         u = _lin_solve_local(1, u, u, a, 1 + 6 * a, cfg.jacobi_iters, n_dev)
@@ -299,6 +340,12 @@ def make_sharded_step(mesh: Mesh, cfg: StamConfig, n_steps: int = 1):
     n = cfg.n
     if n % n_dev:
         raise ValueError(f"n={n} must divide over {n_dev} devices")
+    if cfg.projection not in ("jacobi", "dct"):
+        # silent fallback to jacobi would ignore the user's choice
+        # (advisor finding r1); a sharded multigrid is not implemented.
+        raise ValueError(
+            f"sharded step supports projection in ('jacobi', 'dct'), "
+            f"got {cfg.projection!r}")
     spec = P(AXIS, None, None)
 
     @partial(jax.shard_map, mesh=mesh,
