@@ -1,6 +1,13 @@
 """Pallas kernel correctness on CPU (interpret mode) + stencil advection
 equivalence.  The same kernels are validated bit-exactly on real TPU by
-the bench/verify flow."""
+the bench/verify flow.
+
+The z-ghostless kernels synthesize ghost taps from the set_bnd
+invariant, so their contract requires inputs whose ghost planes are
+set_bnd-consistent (every real call site: zero initial guesses,
+post-set_bnd fields).  Random test inputs are made consistent with one
+set_bnd3d application before BOTH the dense reference and the kernel —
+agreement is then bit-exact."""
 
 import numpy as np
 import jax
@@ -26,6 +33,7 @@ def test_pallas_solver_matches_dense_interpret(rand3d, b, red_black,
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import lin_solve3d_pallas
     x, x0 = rand3d
+    x = stam.set_bnd3d(b, x)
     ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=red_black)
     with pltpu.force_tpu_interpret_mode():
         got = lin_solve3d_pallas(b, x, x0, 1.0, 6.0, 4,
@@ -88,10 +96,14 @@ def test_advect_multi_pallas_matches_stencil_interpret():
     n = 14
     cfg = stam.StamConfig(n=n, dt=0.03)
     shape = (n + 2,) * 3
-    u = jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
-    v = jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
-    w = jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
-    d = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+    u = stam.set_bnd3d(1, jnp.asarray(rng.uniform(-0.9, 0.9, shape),
+                                      jnp.float32))
+    v = stam.set_bnd3d(2, jnp.asarray(rng.uniform(-0.9, 0.9, shape),
+                                      jnp.float32))
+    w = stam.set_bnd3d(3, jnp.asarray(rng.uniform(-0.9, 0.9, shape),
+                                      jnp.float32))
+    d = stam.set_bnd3d(0, jnp.asarray(rng.uniform(0, 1, shape),
+                                      jnp.float32))
     refs = [stam.advect3d_stencil(b, q, u, v, w, cfg)
             for b, q in ((1, u), (2, v), (3, w), (0, d))]
     with pltpu.force_tpu_interpret_mode():
@@ -110,9 +122,12 @@ def test_forcing_pallas_matches_dense_interpret():
                           buoyancy_alpha=0.05, buoyancy_beta=1.0,
                           ambient_temp=0.2)
     shape = (n + 2,) * 3
-    u = jnp.asarray(rng.normal(0, 0.4, shape), jnp.float32)
-    v = jnp.asarray(rng.normal(0, 0.4, shape), jnp.float32)
-    w = jnp.asarray(rng.normal(0, 0.4, shape), jnp.float32)
+    u = stam.set_bnd3d(1, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    v = stam.set_bnd3d(2, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    w = stam.set_bnd3d(3, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
     d = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
     t = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
     w_ref = stam.buoyancy3d(w, d, t, cfg)
@@ -133,6 +148,7 @@ def test_packed_rb_solver_matches_dense_interpret(rand3d, b, fuse,
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
     x, x0 = rand3d
+    x = stam.set_bnd3d(b, x)
     ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=True)
     with pltpu.force_tpu_interpret_mode():
         got = lin_solve3d_rb_packed(b, x, x0, 1.0, 6.0, 4, tx=4,
@@ -145,6 +161,7 @@ def test_packed_rb_solver_single_tile_interpret(rand3d):
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
     x, x0 = rand3d
+    x = stam.set_bnd3d(0, x)
     ref = stam.lin_solve3d(0, x, x0, 1.0, 6.0, 2, red_black=True)
     with pltpu.force_tpu_interpret_mode():
         got = lin_solve3d_rb_packed(0, x, x0, 1.0, 6.0, 2,
@@ -172,8 +189,9 @@ def test_div_gradsub_pallas_match_dense_interpret():
     from tpufluids.grid.pallas_kernels import div3d_pallas, gradsub3d_pallas
     rng = np.random.default_rng(4)
     m = 18  # n_full = n + 2
-    u, v, w, p = (jnp.asarray(rng.normal(0, 1, (m,) * 3), jnp.float32)
-                  for _ in range(4))
+    u, v, w, p = (stam.set_bnd3d(b, jnp.asarray(
+        rng.normal(0, 1, (m,) * 3), jnp.float32))
+        for b in (1, 2, 3, 0))
     div_ref = stam.set_bnd3d(0, jnp.zeros_like(u).at[1:-1, 1:-1, 1:-1]
                              .set(stam.divergence3d(u, v, w)))
     n = m - 2
@@ -329,8 +347,8 @@ def test_advect_self_matches_general_interpret():
     n = 14
     cfg = stam.StamConfig(n=n, dt=0.03)
     shape = (n + 2,) * 3
-    u, v, w = (jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
-               for _ in range(3))
+    u, v, w = (stam.set_bnd3d(b, jnp.asarray(
+        rng.uniform(-0.9, 0.9, shape), jnp.float32)) for b in (1, 2, 3))
     with pltpu.force_tpu_interpret_mode():
         gen = advect3d_multi_pallas((u, v, w), (1, 2, 3), u, v, w,
                                     float(cfg.dt * n), tx=4)
@@ -351,9 +369,10 @@ def test_advect_unpipelined_matches_stencil_interpret():
     n = 14
     cfg = stam.StamConfig(n=n, dt=0.03)
     shape = (n + 2,) * 3
-    u, v, w = (jnp.asarray(rng.uniform(-0.9, 0.9, shape), jnp.float32)
-               for _ in range(3))
-    d = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+    u, v, w = (stam.set_bnd3d(b, jnp.asarray(
+        rng.uniform(-0.9, 0.9, shape), jnp.float32)) for b in (1, 2, 3))
+    d = stam.set_bnd3d(0, jnp.asarray(rng.uniform(0, 1, shape),
+                                      jnp.float32))
     refs = [stam.advect3d_stencil(b, q, u, v, w, cfg)
             for b, q in ((0, d), (1, u))]
     with pltpu.force_tpu_interpret_mode():
@@ -377,11 +396,16 @@ def test_step3d_padded_flow_matches_dense_interpret():
     cfg_x = stam.StamConfig(solver_backend="xla", **kw)
     shape = (n + 2,) * 3
     s = stam.GridState3D(
-        u=jnp.asarray(rng.normal(0, 0.3, shape), jnp.float32),
-        v=jnp.asarray(rng.normal(0, 0.3, shape), jnp.float32),
-        w=jnp.asarray(rng.normal(0, 0.3, shape), jnp.float32),
-        dens=jnp.asarray(rng.uniform(0, 1, shape), jnp.float32),
-        temp=jnp.asarray(rng.uniform(0, 1, shape), jnp.float32))
+        u=stam.set_bnd3d(1, jnp.asarray(rng.normal(0, 0.3, shape),
+                                        jnp.float32)),
+        v=stam.set_bnd3d(2, jnp.asarray(rng.normal(0, 0.3, shape),
+                                        jnp.float32)),
+        w=stam.set_bnd3d(3, jnp.asarray(rng.normal(0, 0.3, shape),
+                                        jnp.float32)),
+        dens=stam.set_bnd3d(0, jnp.asarray(rng.uniform(0, 1, shape),
+                                           jnp.float32)),
+        temp=stam.set_bnd3d(0, jnp.asarray(rng.uniform(0, 1, shape),
+                                           jnp.float32)))
     ref, res_ref = stam.step3d(s, cfg_x, with_residual=True)
     with pltpu.force_tpu_interpret_mode():
         got, res_got = stam.step3d(s, cfg_p, with_residual=True)

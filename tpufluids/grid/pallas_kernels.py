@@ -15,6 +15,25 @@ sweep plus extra passes for the boundary update and the red-black merge
 
 Semantics are bit-compatible with stam.lin_solve3d (tests assert exact
 agreement for both jacobi and red-black modes).
+
+Layout: all 3D kernels run on the Z-GHOSTLESS layout — the lane (z)
+axis stores ONLY the interior cells (z_true - 2 of them), padded to a
+multiple of 128; y keeps its ghost rows, padded to a multiple of 8.
+At the power-of-two grids that matter (64/128/256/512 interior) the
+interior is lane-exact, so no VPU work is wasted on padding (the
+ghosted layout padded 258 -> 384 lanes at 256^3: ~33% of every sweep).
+The z-ghost taps are synthesized in-kernel from the set_bnd invariant
+ghost = sz * neighbor, which is bit-exact because set_bnd3d writes the
+z faces LAST (stam.set_bnd3d): the dense array's ghost plane always
+equals sz times the final adjacent interior plane.  ``zg_pad`` /
+``zg_restore`` convert to/from the dense ghosted layout (the step
+converts once and threads the layout through every kernel).
+
+One documented deviation: between a raw source add (step3d sources)
+and the next set_bnd, the dense path's ghost planes hold stale values
+plus the ghost-plane source; the synthesized ghosts always satisfy the
+boundary invariant instead.  Interior-supported sources (all shipped
+scenes) are unaffected.
 """
 
 from __future__ import annotations
@@ -44,13 +63,14 @@ def _shift(v, d, axis):
     return jnp.pad(v[sl(0, L + d)], pad)
 
 
-def _face_fix_ref(vx, is_first, is_last, *, p, sx, sy, sz, y_hi, z_hi):
+def _face_fix_ref(vx, is_first, is_last, *, p, sx, sy, y_hi):
     """set_bnd applied in-place on the VMEM window ref via thin-slab
-    slice assignments, in the dense order (x faces, then y, then z —
-    set_bnd3d at stam.py:116-126).  Thin slabs replace the 12
+    slice assignments, in the dense order (x faces, then y —
+    set_bnd3d at stam.py:129-139).  Thin slabs replace the
     full-window shift+select ops of the naive formulation (the solver
     is VPU-bound; every full-window op is ~1 ms over a 40-sweep solve
-    at 256^3).
+    at 256^3).  The z faces are NOT stored in the z-ghostless layout;
+    their values are synthesized at tap time (see _zshift_g).
 
     Global x faces exist only at window index 0 of the first tile
     (``is_first``: window start == 0) and index p-1 of the last
@@ -59,24 +79,42 @@ def _face_fix_ref(vx, is_first, is_last, *, p, sx, sy, sz, y_hi, z_hi):
     vx[p - 1:p] = jnp.where(is_last, sx * vx[p - 2:p - 1], vx[p - 1:p])
     vx[:, 0:1, :] = sy * vx[:, 1:2, :]
     vx[:, y_hi:y_hi + 1, :] = sy * vx[:, y_hi - 1:y_hi, :]
-    vx[:, :, 0:1] = sz * vx[:, :, 1:2]
-    vx[:, :, z_hi:z_hi + 1] = sz * vx[:, :, z_hi - 1:z_hi]
 
 
-def _sweep_ref(vx, v0, mask, is_first, is_last, *, a, c_inv, sx, sy, sz,
-               p, y_hi, z_hi):
+def _lane_edges(shape, z_hi):
+    """(lane==0, lane==z_hi) boolean masks: the interior cells adjacent
+    to the unstored z-ghost planes in the z-ghostless layout."""
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return kk == 0, kk == z_hi
+
+
+def _zshift_g(v, d, sz, zlo, zhi, ghost_src=None):
+    """z-axis tap in the z-ghostless layout: lane k holds true z = k+1,
+    so the edge taps read the (unstored) set_bnd ghost sz * neighbor —
+    bit-equal to the dense array's ghost plane, which set_bnd3d writes
+    last.  ``ghost_src`` overrides the ghost source array (the packed
+    red-black solver's ghost lives in the OTHER phase: the updating
+    cell itself)."""
+    g = v if ghost_src is None else ghost_src
+    g = g if sz == 1.0 else -g
+    return jnp.where(zlo if d == -1 else zhi, g, _shift(v, d, 2))
+
+
+def _sweep_ref(vx, v0, mask, zedges, is_first, is_last, *, a, c_inv,
+               sx, sy, sz, p, y_hi):
     """One jacobi/red-black sweep + set_bnd on the VMEM window ref.
-    ``mask`` is the precomputed interior(-and-parity) mask;
-    ``y_hi``/``z_hi`` are the TRUE last indices (the buffer may carry
-    tiling padding beyond them, which stays untouched)."""
+    ``mask`` is the precomputed interior(-and-parity) mask (padding
+    lanes/rows beyond the true extents stay untouched); ``zedges`` the
+    precomputed _lane_edges pair."""
     v = vx[...]
+    zlo, zhi = zedges
     taps = (_shift(v, -1, 0) + _shift(v, 1, 0)
             + _shift(v, -1, 1) + _shift(v, 1, 1)
-            + _shift(v, -1, 2) + _shift(v, 1, 2))
+            + _zshift_g(v, -1, sz, zlo, zhi)
+            + _zshift_g(v, 1, sz, zlo, zhi))
     new = (v0 + a * taps) * c_inv
     vx[...] = jnp.where(mask, new, v)
-    _face_fix_ref(vx, is_first, is_last, p=p, sx=sx, sy=sy, sz=sz,
-                  y_hi=y_hi, z_hi=z_hi)
+    _face_fix_ref(vx, is_first, is_last, p=p, sx=sx, sy=sy, y_hi=y_hi)
 
 
 def _solve_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
@@ -99,24 +137,26 @@ def _solve_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
     jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
 
-    # loop-invariant masks, computed once per program
+    # loop-invariant masks, computed once per program.  In the
+    # z-ghostless layout every lane <= z_hi is interior.
     interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+                & (jj <= y_hi - 1) & (kk <= z_hi))
     if parities[0] is None:
         masks = {None: interior}
     else:
         # dense _checker parity is on 0-based interior indices:
-        # ((gi-1)+(jj-1)+(kk-1)) % 2
-        chk = ((gi + jj + kk + 1) % 2) == 0
+        # ((gi-1)+(jj-1)+kk) % 2 with lane kk = true z - 1
+        chk = ((gi + jj + kk) % 2) == 0
         masks = {0: interior & chk, 1: interior & (~chk)}
+    zedges = _lane_edges(shape, z_hi)
     is_first = wlo == 0
     is_last = wlo == n_full - p
 
     v0 = vx0[...]
     for parity in parities:
-        _sweep_ref(vx, v0, masks[parity], is_first, is_last, a=a,
-                   c_inv=c_inv, sx=sx, sy=sy, sz=sz, p=p, y_hi=y_hi,
-                   z_hi=z_hi)
+        _sweep_ref(vx, v0, masks[parity], zedges, is_first, is_last,
+                   a=a, c_inv=c_inv, sx=sx, sy=sy, sz=sz, p=p,
+                   y_hi=y_hi)
 
     cp3 = pltpu.make_async_copy(
         vx.at[pl.ds(lo - wlo, tx)], out_hbm.at[pl.ds(lo, tx)], sem1)
@@ -259,28 +299,54 @@ def _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, *, slots=2,
     return max(1, min(tx_want, max_p - 2 * halo, n_full - 2 * halo))
 
 
+def zg_extents(y_true, z_true, ymul=8):
+    """(yp, zp) of the z-ghostless layout for a dense ghosted
+    (x, y_true, z_true) array: y (ghosts kept) padded to a sublane
+    multiple, z INTERIOR (z_true - 2) padded to a lane multiple."""
+    return -(-y_true // ymul) * ymul, -(-(z_true - 2) // 128) * 128
+
+
+def zg_pad(a, yp, zp):
+    """Dense ghosted -> z-ghostless layout: strip the two z-ghost
+    planes, pad y to ``yp`` sublanes and the z interior to ``zp``
+    lanes (padding cells are don't-care: every kernel masks them out
+    of its outputs and guards the adjacent taps)."""
+    y_true, zi = a.shape[1], a.shape[2] - 2
+    return jnp.pad(a[:, :, 1:-1], ((0, 0), (0, yp - y_true),
+                                   (0, zp - zi)))
+
+
+def zg_restore(a, b, y_true, z_true):
+    """z-ghostless -> dense ghosted layout: slice off padding and
+    synthesize the two z-ghost planes as sz * adjacent interior plane.
+    Bit-exact vs the dense path because set_bnd3d writes the z faces
+    last — the dense output's ghost planes always equal sz times the
+    final adjacent planes (including the x/y edge columns, where the
+    z-face write wins)."""
+    sz = -1.0 if b == 3 else 1.0
+    zi = z_true - 2
+    core = a[:, :y_true, :zi]
+    return jnp.concatenate(
+        [sz * core[:, :, :1], core, sz * core[:, :, zi - 1:zi]], axis=2)
+
+
 def _pad_setup(arrays, true_extents):
-    """Resolve the lane/sublane-padded layout for a kernel wrapper.
+    """Resolve the z-ghostless layout for a kernel wrapper.
 
-    With ``true_extents=None`` (standalone use) the arrays carry their
-    true extents: pad y to a multiple of 8 and z to a multiple of 128
-    here, and the caller slices outputs back.  With ``true_extents=
-    (y_true, z_true)`` the arrays are ALREADY padded (the step pads
-    its five fields once and threads them through every kernel, which
-    removes ~21 full-field pad ops and the matching output slices
-    from the compiled 256^3 step) and outputs stay padded.
+    With ``true_extents=None`` (standalone use) the arrays arrive
+    dense/ghosted: convert via zg_pad here; the caller restores
+    outputs with zg_restore.  With ``true_extents=(y_true, z_true)``
+    (the dense extents) the arrays are ALREADY in the z-ghostless
+    layout (the step converts its five fields once and threads them
+    through every kernel) and outputs stay in it.
 
-    Returns (arrays, n_full, y_true, z_true, yp, zp, slice_out)."""
+    Returns (arrays, n_full, y_true, z_true, yp, zp, standalone)."""
     n_full = arrays[0].shape[0]
     if true_extents is None:
         y_true, z_true = arrays[0].shape[1], arrays[0].shape[2]
-        yp = -(-y_true // 8) * 8
-        zp = -(-z_true // 128) * 128
-        padded = (yp != y_true) or (zp != z_true)
-        if padded:
-            arrays = [jnp.pad(a, ((0, 0), (0, yp - y_true),
-                                  (0, zp - z_true))) for a in arrays]
-        return list(arrays), n_full, y_true, z_true, yp, zp, padded
+        yp, zp = zg_extents(y_true, z_true)
+        return ([zg_pad(a, yp, zp) for a in arrays], n_full, y_true,
+                z_true, yp, zp, True)
     y_true, z_true = true_extents
     return (list(arrays), n_full, y_true, z_true, arrays[0].shape[1],
             arrays[0].shape[2], False)
@@ -300,15 +366,16 @@ def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
         jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                    & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+                    & (jj <= y_hi - 1) & (kk <= z_hi))
+        zedges = _lane_edges(shape, z_hi)
         p_ = shape[0]
         is_first = wlo == 0
         is_last = wlo == n_full - p_
 
         def bnd_ref(ref, b):
-            sx, sy, sz = _bnd_scales(b)
+            sx, sy, _ = _bnd_scales(b)
             _face_fix_ref(ref, is_first, is_last, p=p_, sx=sx, sy=sy,
-                          sz=sz, y_hi=y_hi, z_hi=z_hi)
+                          y_hi=y_hi)
 
         if b_alpha or b_beta:
             # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
@@ -320,7 +387,14 @@ def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
             inv2h = 0.5 / h
             u, v, w = vu[...], vv[...], vw[...]
 
-            def d_axis(q, axis):
+            def d_axis(q, axis, sz=1.0):
+                if axis == 2:
+                    # mag's dense ghost planes are literal zeros (the
+                    # interior mask), which plain zero-fill shifts
+                    # reproduce; u/v/w ghosts are set_bnd values
+                    hi = _zshift_g(q, 1, sz, *zedges)
+                    lo = _zshift_g(q, -1, sz, *zedges)
+                    return (hi - lo) * inv2h
                 return (_shift(q, 1, axis) - _shift(q, -1, axis)) * inv2h
 
             cx = d_axis(w, 1) - d_axis(v, 2)
@@ -330,7 +404,7 @@ def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
             mag = jnp.where(interior, mag, 0.0)
             gx = d_axis(mag, 0)
             gy = d_axis(mag, 1)
-            gz = d_axis(mag, 2)
+            gz = (_shift(mag, 1, 2) - _shift(mag, -1, 2)) * inv2h
             norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
             gx, gy, gz = gx / norm, gy / norm, gz / norm
             eps_h = eps * h
@@ -357,12 +431,12 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
                      tx: int = 4, true_extents=None):
     """Fused buoyancy + vorticity confinement (stam.buoyancy3d followed
     by stam.vorticity_confinement3d), one HBM pass."""
-    ins, n_full, y_true, z_true, yp, zp, padded = _pad_setup(
+    ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (u, v, w, dens, temp), true_extents)
     tx = _fit_tx(tx, 5, 2, n_full, yp, zp, budget=50 * 1024 * 1024)
     p = tx + 4
     kern = functools.partial(
-        _force_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1,
+        _force_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 3,
         tx=tx, dt=dt, h=h, eps=eps, b_alpha=b_alpha, b_beta=b_beta,
         t_amb=t_amb)
     outs = pl.pallas_call(
@@ -377,8 +451,9 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
-    if padded:
-        outs = tuple(o[:, :y_true, :z_true] for o in outs)
+    if standalone:
+        outs = tuple(zg_restore(o, b, y_true, z_true)
+                     for o, b in zip(outs, (1, 2, 3)))
     return outs
 
 
@@ -399,15 +474,18 @@ def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
         jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                    & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+                    & (jj <= y_hi - 1) & (kk <= z_hi))
+        zedges = _lane_edges(shape, z_hi)
 
         u, v, w = vu[...], vv[...], vw[...]
-        # same association order as stam.divergence3d (bit-compatible)
+        # same association order as stam.divergence3d (bit-compatible);
+        # w's z-ghost taps synthesize the b=3 mirror (sz = -1)
         s = (_shift(u, 1, 0) - _shift(u, -1, 0) + _shift(v, 1, 1)
-             - _shift(v, -1, 1) + _shift(w, 1, 2) - _shift(w, -1, 2))
+             - _shift(v, -1, 1) + _zshift_g(w, 1, -1.0, *zedges)
+             - _zshift_g(w, -1, -1.0, *zedges))
         vu[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
         _face_fix_ref(vu, wlo == 0, wlo == n_full - p, p=p, sx=1.0,
-                      sy=1.0, sz=1.0, y_hi=y_hi, z_hi=z_hi)
+                      sy=1.0, y_hi=y_hi)
 
     _stream_tiles((u_hbm, v_hbm, w_hbm), ((0, out_hbm),), vbuf,
                   in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
@@ -418,14 +496,14 @@ def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
 def div3d_pallas(u, v, w, tx: int = 32, true_extents=None):
     """Fused ``set_bnd3d(0, zeros.at[1:-1,...].set(divergence3d(u,v,w)))``
     — one HBM pass instead of ~6 full-array copies."""
-    ins, n_full, y_true, z_true, yp, zp, padded = _pad_setup(
+    ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (u, v, w), true_extents)
     h = 1.0 / (n_full - 2)
     tx = _fit_tx(tx, 3, 1, n_full, yp, zp,
                  budget=70 * 1024 * 1024)
     p = tx + 2
     kern = functools.partial(_div_kernel, n_full=n_full, y_hi=y_true - 1,
-                             z_hi=z_true - 1, tx=tx, h=h)
+                             z_hi=z_true - 3, tx=tx, h=h)
     out = pl.pallas_call(
         kern,
         grid=(pl.cdiv(n_full, tx),),
@@ -437,8 +515,8 @@ def div3d_pallas(u, v, w, tx: int = 32, true_extents=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
-    if padded:
-        out = out[:, :y_true, :z_true]
+    if standalone:
+        out = zg_restore(out, 0, y_true, z_true)
     return out
 
 
@@ -453,20 +531,25 @@ def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
         jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
-                    & (jj <= y_hi - 1) & (kk >= 1) & (kk <= z_hi - 1))
+                    & (jj <= y_hi - 1) & (kk <= z_hi))
+        zedges = _lane_edges(shape, z_hi)
         is_first = wlo == 0
         is_last = wlo == n_full - p
         pr = vp[...]
         for axis, ref, b in ((0, vu, 1), (1, vv, 2), (2, vw, 3)):
             # same op order as the dense path (bit-compatible):
-            # -0.5 * (p[i+1] - p[i-1]) / h
-            g_ = (jnp.float32(-0.5)
-                  * (_shift(pr, 1, axis) - _shift(pr, -1, axis))
-                  / jnp.float32(h))
+            # -0.5 * (p[i+1] - p[i-1]) / h; p's z ghosts are the b=0
+            # mirror (sz = 1)
+            if axis == 2:
+                hi = _zshift_g(pr, 1, 1.0, *zedges)
+                lo = _zshift_g(pr, -1, 1.0, *zedges)
+            else:
+                hi, lo = _shift(pr, 1, axis), _shift(pr, -1, axis)
+            g_ = jnp.float32(-0.5) * (hi - lo) / jnp.float32(h)
             ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
-            sx, sy, sz = _bnd_scales(b)
+            sx, sy, _ = _bnd_scales(b)
             _face_fix_ref(ref, is_first, is_last, p=p, sx=sx, sy=sy,
-                          sz=sz, y_hi=y_hi, z_hi=z_hi)
+                          y_hi=y_hi)
 
     _stream_tiles((p_hbm, u_hbm, v_hbm, w_hbm),
                   ((1, uo), (2, vo), (3, wo)), vbuf, in_sems, out_sems,
@@ -477,13 +560,13 @@ def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
 def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None):
     """Fused pressure-gradient subtraction + per-component set_bnd
     (the tail of stam.project3d), one HBM pass."""
-    ins, n_full, y_true, z_true, yp, zp, padded = _pad_setup(
+    ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (p_arr, u, v, w), true_extents)
     h = 1.0 / (n_full - 2)
     tx = _fit_tx(tx, 4, 1, n_full, yp, zp, budget=60 * 1024 * 1024)
     pw = tx + 2
     kern = functools.partial(_gradsub_kernel, n_full=n_full,
-                             y_hi=y_true - 1, z_hi=z_true - 1, tx=tx, h=h)
+                             y_hi=y_true - 1, z_hi=z_true - 3, tx=tx, h=h)
     outs = pl.pallas_call(
         kern,
         grid=(pl.cdiv(n_full, tx),),
@@ -496,8 +579,9 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
-    if padded:
-        outs = tuple(o[:, :y_true, :z_true] for o in outs)
+    if standalone:
+        outs = tuple(zg_restore(o, b, y_true, z_true)
+                     for o, b in zip(outs, (1, 2, 3)))
     return outs
 
 
@@ -537,9 +621,10 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
         jj = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
         kk = jax.lax.broadcasted_iota(jnp.int32, pshape, 2)
         jjf = jj.astype(jnp.float32)
-        kkf = kk.astype(jnp.float32)
-        yz_int = ((jj >= 1) & (jj <= y_hi - 1) & (kk >= 1)
-                  & (kk <= z_hi - 1))
+        kkf = kk.astype(jnp.float32) + 1.0   # lane k holds true z = k+1
+        yz_int = ((jj >= 1) & (jj <= y_hi - 1) & (kk <= z_hi))
+        elo, ehi = _lane_edges(pshape, z_hi)
+        szs = [(-1.0 if b == 3 else 1.0) for b in bnds]
 
         def hat(o, d):
             return jnp.maximum(0.0, 1.0 - jnp.abs(o - d))
@@ -560,10 +645,20 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
 
             ox = offs(plane(vu, j), gif, jnp.float32(n_full))
             oy = offs(plane(vv, j), jjf, jnp.float32(y_hi + 1))
-            oz = offs(plane(vw, j), kkf, jnp.float32(z_hi + 1))
+            oz = offs(plane(vw, j), kkf, jnp.float32(z_hi + 3))
             wxs = [hat(ox, d) for d in (-1, 0, 1)]
             wys = [hat(oy, d) for d in (-1, 0, 1)]
-            wzs = [hat(oz, d) for d in (-1, 0, 1)]
+            wz_m1, wz_0, wz_p1 = (hat(oz, d) for d in (-1, 0, 1))
+            # the unstored z-ghost value equals sz * the center tap
+            # (set_bnd invariant), so the edge lanes' dz=+-1 weight
+            # folds onto the center with scale sz.  One rounding
+            # different from the dense two-product sum (tests use
+            # atol); taps then stay plain shifts with zero fill.
+            edge_w = (jnp.where(elo, wz_m1, 0.0)
+                      + jnp.where(ehi, wz_p1, 0.0))
+            wz_m1 = jnp.where(elo, 0.0, wz_m1)
+            wz_p1 = jnp.where(ehi, 0.0, wz_p1)
+            wz0 = {s: wz_0 + s * edge_w for s in set(szs)}
 
             outs = [jnp.zeros(pshape, jnp.float32) for _ in range(k)]
             ctr = [None] * k
@@ -574,11 +669,14 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
                 for dy in (-1, 0, 1):
                     wxy = wxs[dx + 1] * wys[dy + 1]
                     fxy = [_shift(f, dy, 1) for f in fx]
-                    for dz in (-1, 0, 1):
-                        wgt = wxy * wzs[dz + 1]
-                        for q in range(k):
-                            outs[q] = (outs[q]
-                                       + wgt * _shift(fxy[q], dz, 2))
+                    wgt_m1 = wxy * wz_m1
+                    wgt_p1 = wxy * wz_p1
+                    wgt_0 = {s: wxy * w0 for s, w0 in wz0.items()}
+                    for q in range(k):
+                        outs[q] = (outs[q]
+                                   + wgt_m1 * _shift(fxy[q], -1, 2)
+                                   + wgt_0[szs[q]] * fxy[q]
+                                   + wgt_p1 * _shift(fxy[q], 1, 2))
 
             ok = yz_int & (gi >= 1) & (gi <= n_full - 2)
             for q in range(k):
@@ -598,9 +696,9 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
             # read below initialized, per the kernel conventions)
             vo[q][pl.ds(0, 1)] = plane(vf[q], 0)
             vo[q][pl.ds(p - 1, 1)] = plane(vf[q], p - 1)
-            sx, sy, sz = _bnd_scales(bnds[q])
+            sx, sy, _ = _bnd_scales(bnds[q])
             _face_fix_ref(vo[q], is_first, is_last, p=p, sx=sx, sy=sy,
-                          sz=sz, y_hi=y_hi, z_hi=z_hi)
+                          y_hi=y_hi)
 
     _stream_tiles((u_hbm, v_hbm, w_hbm) + tuple(f_hbm),
                   tuple((n_in + q, o_hbm[q]) for q in range(k)),
@@ -630,7 +728,7 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     assert len(bnds) == k
     if self_advect:
         assert k == 3
-    arrs, n_full, y_true, z_true, yp, zp, padded = _pad_setup(
+    arrs, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (u, v, w) + (() if self_advect else tuple(fields)), true_extents)
     u_, v_, w_ = arrs[:3]
     fs = arrs[3:]
@@ -656,7 +754,7 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     grid = (pl.cdiv(n_full, tx),)
 
     kern = functools.partial(
-        _advect_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1,
+        _advect_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 3,
         tx=tx, dt0=dt0, bnds=bnds, pipeline=pipeline,
         self_advect=self_advect)
     outs = pl.pallas_call(
@@ -671,8 +769,9 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(u_, v_, w_, *fs)
-    if padded:
-        outs = tuple(o[:, :y_true, :z_true] for o in outs)
+    if standalone:
+        outs = tuple(zg_restore(o, b, y_true, z_true)
+                     for o, b in zip(outs, bnds))
     return outs
 
 
@@ -683,29 +782,33 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
 # the naive formulation computes both parities and discards half.
 #
 # Packing along y (not z) keeps lanes fully utilized: half-z would need
-# zp/2 lanes re-padded to 128 (~50% waste at 258), half-y re-pads
-# sublanes to 8 (~3%).  With r = (i + k + 1) % 2 (the row offset of
-# phase A at plane i, lane k):
-#   A[i, j', k] = x[i, 2j' + r,     k]   (cells with 0-based interior
-#   B[i, j', k] = x[i, 2j' + 1 - r, k]    parity 0 / 1)
+# zp/2 lanes re-padded to 128, half-y re-pads sublanes to 8 (~3%).
+# In the z-ghostless layout lane k holds true z = k + 1; with
+# r = (i + k) % 2 (the row offset of phase A at plane i, lane k):
+#   A[i, j', k] = x[i, 2j' + r,     k + 1]   (cells with 0-based
+#   B[i, j', k] = x[i, 2j' + 1 - r, k + 1]    interior parity 0 / 1)
 # the 6-tap stencil of an A-cell reads B with PLAIN +-1 shifts along x
 # and z (the neighbor's phase offset absorbs the parity flip), and a
-# 2-shift select along y.  Identical per-cell arithmetic in the dense
-# order -> bit-compatible with stam.lin_solve3d (tested).
+# 2-shift select along y.  The z-ghost taps at the edge lanes read the
+# updating cell ITSELF scaled by sz (the ghost x[i,y,0] = sz*x[i,y,1]
+# and (i, y, z=1) is the A-cell at lane 0 — same packed position).
+# Identical per-cell arithmetic in the dense order -> bit-compatible
+# with stam.lin_solve3d (tested).
 
 
 def _rb_r_mask(shape, wlo):
-    """True where phase A's row offset r = (i + k + 1) % 2 == 0."""
+    """True where phase A's row offset r = (i + k) % 2 == 0 (lane k
+    holds true z = k + 1)."""
     gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
     kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    return ((gi + kk + 1) % 2) == 0
+    return ((gi + kk) % 2) == 0
 
 
-def _rb_face_fix(vA, vB, is_first, is_last, r0, *, p, sx, sy, sz,
-                 y_hi, z_hi):
-    """set_bnd in packed space (dense order: x, then y, then z faces).
-    All slabs are thin.  ``r0`` is the r==0 mask restricted to the slab
-    shapes where needed."""
+def _rb_face_fix(vA, vB, is_first, is_last, r0, *, p, sx, sy, y_hi):
+    """set_bnd in packed space (dense order: x, then y faces; the z
+    faces are unstored in the z-ghostless layout — their taps are
+    synthesized inside _rb_half_sweep).  All slabs are thin.  ``r0``
+    is the r==0 mask restricted to the slab shapes where needed."""
     # x faces: cell (0, j, k) <- (1, j, k); the neighbor plane's phase
     # offset flips, so A[0] copies B[1] and vice versa
     a1, b1 = vA[1:2], vB[1:2]
@@ -740,30 +843,29 @@ def _rb_face_fix(vA, vB, is_first, is_last, r0, *, p, sx, sy, sz,
         ah, bh = vA[:, h:h + 1, :], vB[:, h:h + 1, :]
         vA[:, h:h + 1, :] = jnp.where(r0y, ah, sy * bh)
         vB[:, h:h + 1, :] = jnp.where(r0y, sy * ah, bh)
-    # z faces: cell (i, j, 0) <- (i, j, 1); at lane 0 phase A holds j
-    # rows with offset r(i,0), the source lane 1 has flipped r, so the
-    # same packed row index maps to the same j in the OTHER phase
-    vA[:, :, 0:1] = sz * vB[:, :, 1:2]
-    vB[:, :, 0:1] = sz * vA[:, :, 1:2]
-    vA[:, :, z_hi:z_hi + 1] = sz * vB[:, :, z_hi - 1:z_hi]
-    vB[:, :, z_hi:z_hi + 1] = sz * vA[:, :, z_hi - 1:z_hi]
 
 
-def _rb_half_sweep(dst, src, dst0, r_sel, *, a, c_inv):
+def _rb_half_sweep(dst, src, dst0, r_sel, zedges, *, a, c_inv, sz):
     """Update phase ``dst`` from ``src`` (the other phase).  ``r_sel``
     selects the y-tap shift direction (True rows take shift(-1)/no-op,
-    False rows no-op/shift(+1)); dense tap order preserved.
+    False rows no-op/shift(+1)); dense tap order preserved.  The z-edge
+    taps read the unstored set_bnd ghost, which equals sz * the
+    updating cell's own pre-update value (see the section comment) —
+    bit-equal to the dense stored ghost.
 
     No interior mask: every dst cell is active parity; face and padding
     cells receive garbage but the face fix immediately rewrites faces
     from interior values (the boundary closes the system at domain
-    edges, and window x-edge garbage stays outside the halo cone),
-    so retained values are bit-identical to the masked form (tested)."""
+    edges, window x-edge garbage stays outside the halo cone, and the
+    z-edge selects wall off the lane padding), so retained values are
+    bit-identical to the masked form (tested)."""
     s = src[...]
+    d = dst[...]
     ylo = jnp.where(r_sel, _shift(s, -1, 1), s)
     yhi = jnp.where(r_sel, s, _shift(s, 1, 1))
     taps = (_shift(s, -1, 0) + _shift(s, 1, 0) + ylo + yhi
-            + _shift(s, -1, 2) + _shift(s, 1, 2))
+            + _zshift_g(s, -1, sz, *zedges, ghost_src=d)
+            + _zshift_g(s, 1, sz, *zedges, ghost_src=d))
     dst[...] = (dst0 + a * taps) * c_inv
 
 
@@ -777,6 +879,7 @@ def _rb_sweeps(vA, vB, vA0, vB0, wlo, *, a, c_inv, sx, sy, sz, n_full,
     256^3 — the dynamic-slice reads cost what the skipped planes
     save — so the simple formulation stays."""
     r0w = _rb_r_mask(vA.shape, wlo)
+    zedges = _lane_edges(vA.shape, z_hi)
     is_first = wlo == 0
     is_last = wlo == n_full - p
     a0v = vA0[...]
@@ -785,12 +888,14 @@ def _rb_sweeps(vA, vB, vA0, vB0, wlo, *, a, c_inv, sx, sy, sz, n_full,
         if sw % 2 == 0:
             # parity-0 half-sweep: update A from B.  A-cell j-1 = B at
             # j'-1 when r==0 else j'; j+1 = B at j' when r==0 else j'+1
-            _rb_half_sweep(vA, vB, a0v, r0w, a=a, c_inv=c_inv)
+            _rb_half_sweep(vA, vB, a0v, r0w, zedges, a=a, c_inv=c_inv,
+                           sz=sz)
         else:
             # parity-1: B-cell has offset 1-r; shift select flips
-            _rb_half_sweep(vB, vA, b0v, ~r0w, a=a, c_inv=c_inv)
+            _rb_half_sweep(vB, vA, b0v, ~r0w, zedges, a=a, c_inv=c_inv,
+                           sz=sz)
         _rb_face_fix(vA, vB, is_first, is_last, r0w, p=p, sx=sx, sy=sy,
-                     sz=sz, y_hi=y_hi, z_hi=z_hi)
+                     y_hi=y_hi)
 
 
 def _solve_rb_packed_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
@@ -835,9 +940,8 @@ def rb_packed_plan(shape, iters):
     fuse and finally to the unpipelined single-buffer layout for grids
     with very large y*z planes (e.g. 512^3)."""
     n_full, y_true, z_true = shape
-    yp = -(-y_true // 8) * 8
+    yp, zp = zg_extents(y_true, z_true)
     yhp = -(-(yp // 2) // 8) * 8
-    zp = -(-z_true // 128) * 128
     for fuse in (4, 2, 1):
         if iters % fuse:
             continue
@@ -892,27 +996,25 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
 
     ``x_zero=True`` asserts the initial guess is all zeros (the
     pressure projection's) and skips packing it — two full-field
-    select passes.  ``true_extents``: pre-padded in/out (_pad_setup)."""
-    if true_extents is None:
+    select passes.  ``true_extents``: z-ghostless in/out (_pad_setup)."""
+    standalone = true_extents is None
+    if standalone:
         n_full, y_true, z_true = x.shape
-        yp = -(-y_true // 8) * 8
-        zp = -(-z_true // 128) * 128
-        if (yp != y_true) or (zp != z_true):
-            if not x_zero:
-                x = jnp.pad(x, ((0, 0), (0, yp - y_true),
-                                (0, zp - z_true)))
-            x0 = jnp.pad(x0, ((0, 0), (0, yp - y_true),
-                              (0, zp - z_true)))
+        yp, zp = zg_extents(y_true, z_true)
+        if not x_zero:
+            x = zg_pad(x, yp, zp)
+        x0 = zg_pad(x0, yp, zp)
     else:
         n_full = x0.shape[0]
         y_true, z_true = true_extents
         yp, zp = x0.shape[1], x0.shape[2]
     sx, sy, sz = _bnd_scales(b)
 
-    # pack: A/B rows interleave along y with plane/lane-dependent offset
+    # pack: A/B rows interleave along y with plane/lane-dependent
+    # offset (lane kz holds true z = kz + 1)
     ii = jnp.arange(n_full, dtype=jnp.int32)[:, None, None]
     kz = jnp.arange(zp, dtype=jnp.int32)[None, None, :]
-    r0 = ((ii + kz + 1) % 2) == 0
+    r0 = ((ii + kz) % 2) == 0
     yh = yp // 2
     yhp = -(-yh // 8) * 8
     def even_odd(q):
@@ -947,7 +1049,7 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
         raise ValueError(f"window {p} exceeds array extent {n_full}")
 
     kw = dict(a=a, c_inv=1.0 / c, sx=sx, sy=sy, sz=sz, n_full=n_full,
-              y_hi=y_true - 1, z_hi=z_true - 1, tx=tx, halo=halo,
+              y_hi=y_true - 1, z_hi=z_true - 3, tx=tx, halo=halo,
               n_sweeps=n_sweeps)
     if pipeline:
         kern = functools.partial(_solve_rb_packed_pipe_kernel, **kw)
@@ -979,9 +1081,9 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
         A, B = A[:, :yh, :], B[:, :yh, :]
     out = jnp.stack([jnp.where(r0, A, B), jnp.where(r0, B, A)],
                     axis=2).reshape(n_full, yp, zp)
-    if true_extents is not None:
-        return out
-    return out[:, :y_true, :z_true]
+    if standalone:
+        return zg_restore(out, b, y_true, z_true)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1000,18 +1102,14 @@ def lin_solve3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
     """
     n_full, y_true, z_true = x.shape
     in_dtype = x.dtype
-    # Mosaic DMA slices need lane/sublane-aligned extents: pad y to a
-    # multiple of 8 (16 for bf16) and z to a multiple of 128 (masks use
-    # true extents, padding cells stay zero)
+    # z-ghostless layout: y (ghosted) padded to a sublane multiple
+    # (16 for bf16), z interior to a lane multiple of 128 (masks use
+    # true extents; padding cells are don't-care, walled off by the
+    # interior mask and the z-edge tap selects)
     ymul = 16 if dtype == jnp.bfloat16 else 8
-    yp = -(-y_true // ymul) * ymul
-    zp = -(-z_true // 128) * 128
-    padded = (yp != y_true) or (zp != z_true)
-    if padded:
-        x = jnp.pad(x, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
-        x0 = jnp.pad(x0, ((0, 0), (0, yp - y_true), (0, zp - z_true)))
-    x = x.astype(dtype)
-    x0 = x0.astype(dtype)
+    yp, zp = zg_extents(y_true, z_true, ymul)
+    x = zg_pad(x, yp, zp).astype(dtype)
+    x0 = zg_pad(x0, yp, zp).astype(dtype)
     sx, sy, sz = _bnd_scales(b)
     if red_black:
         fuse = max(1, min(fuse, iters))
@@ -1031,7 +1129,7 @@ def lin_solve3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
 
     kern = functools.partial(
         _solve_kernel, a=a, c_inv=1.0 / c, sx=sx, sy=sy, sz=sz,
-        n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 1, tx=tx,
+        n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 3, tx=tx,
         halo=halo, parities=parities)
     call = pl.pallas_call(
         kern,
@@ -1054,6 +1152,4 @@ def lin_solve3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
         return call(xc, x0)
 
     out = jax.lax.fori_loop(0, passes, body, x).astype(in_dtype)
-    if padded:
-        out = out[:, :y_true, :z_true]
-    return out
+    return zg_restore(out, b, y_true, z_true)

@@ -548,19 +548,19 @@ def project3d(u, v, w, cfg, with_residual: bool = False,
     te = true_extents
     if _use_pallas(cfg) and n + 2 >= 16:
         from tpufluids.grid.pallas_kernels import (div3d_pallas,
-                                                   gradsub3d_pallas)
+                                                   gradsub3d_pallas,
+                                                   zg_pad, zg_restore)
         div = div3d_pallas(u, v, w, true_extents=te)
-        # the packed red-black solver consumes/produces the padded
-        # layout directly; multigrid/DCT solve on true extents (one
-        # slice/re-pad round trip, only for those options)
+        # the packed red-black solver consumes/produces the
+        # z-ghostless layout directly; multigrid/DCT solve on the
+        # dense ghosted layout (one restore/re-strip round trip, only
+        # for those options; b=0 fields throughout the projection)
         rb_fast = (cfg.projection not in ("multigrid", "dct")
                    and cfg.red_black and cfg.solver_dtype != "bfloat16")
         unpad = ((lambda a: a) if te is None
-                 else (lambda a: a[:, :te[0], :te[1]]))
+                 else (lambda a: zg_restore(a, 0, te[0], te[1])))
         repad = ((lambda a: a) if te is None
-                 else (lambda a: jnp.pad(
-                     a, ((0, 0), (0, u.shape[1] - te[0]),
-                         (0, u.shape[2] - te[1])))))
+                 else (lambda a: zg_pad(a, u.shape[1], u.shape[2])))
         if cfg.projection == "multigrid":
             p = repad(mg_solve3d(unpad(div), cfg))
         elif cfg.projection == "dct":
@@ -713,11 +713,16 @@ def step3d(state: GridState3D, cfg: StamConfig,
            sources: Optional[dict] = None, with_residual: bool = False):
     """One 3D step with set_bnd walls; configs 2-4 of BASELINE.json.
 
-    On the Pallas/stencil path the five fields are padded to the
-    lane/sublane-aligned layout ONCE here and threaded through every
-    kernel via ``true_extents`` — per-wrapper padding cost ~21
-    full-field pad ops plus matching output slices per compiled step
-    at 256^3 (HLO-verified)."""
+    On the Pallas/stencil path the five fields are converted to the
+    z-ghostless lane-exact layout ONCE here and threaded through every
+    kernel via ``true_extents`` (per-wrapper conversion cost ~21
+    full-field passes per compiled step at 256^3, HLO-verified; the
+    layout itself removes the 258->384 z-lane padding that wasted ~33%
+    of all VPU work at 256^3).  Deviation note: with ``sources`` whose
+    support touches the ghost planes, the dense path's stale ghost
+    values differ from the synthesized set_bnd-consistent ghosts (see
+    pallas_kernels module docstring); shipped scenes use interior
+    sources."""
     u, v, w, dens, temp = state.u, state.v, state.w, state.dens, state.temp
     if sources:
         u = u + cfg.dt * sources.get("fu", 0.0)
@@ -731,21 +736,22 @@ def step3d(state: GridState3D, cfg: StamConfig,
                     and n_ + 2 >= 16)
     te = None
     if fused_advect:
+        from tpufluids.grid.pallas_kernels import (zg_extents, zg_pad,
+                                                   zg_restore)
         y_true, z_true = u.shape[1], u.shape[2]
-        yp = -(-y_true // 8) * 8
-        zp = -(-z_true // 128) * 128
+        yp, zp = zg_extents(y_true, z_true)
         te = (y_true, z_true)
 
         def _pad(a):
-            return jnp.pad(a, ((0, 0), (0, yp - y_true),
-                               (0, zp - z_true)))
+            return zg_pad(a, yp, zp)
 
-        def _unpad(a):
-            return a[:, :y_true, :z_true]
+        def _unpad(a, b=0):
+            return zg_restore(a, b, y_true, z_true)
 
         u, v, w, dens, temp = map(_pad, (u, v, w, dens, temp))
     else:
-        _pad = _unpad = lambda a: a
+        _pad = lambda a: a
+        _unpad = lambda a, b=0: a
 
     if _use_pallas(cfg) and (cfg.buoyancy_alpha or cfg.buoyancy_beta
                              or cfg.vorticity_eps):
@@ -759,16 +765,17 @@ def step3d(state: GridState3D, cfg: StamConfig,
             true_extents=te)
     else:
         if cfg.buoyancy_alpha or cfg.buoyancy_beta:
-            w = _pad(buoyancy3d(_unpad(w), _unpad(dens), _unpad(temp),
-                                cfg))
+            w = _pad(buoyancy3d(_unpad(w, 3), _unpad(dens),
+                                _unpad(temp), cfg))
         if cfg.vorticity_eps:
-            uu, vv, ww = vorticity_confinement3d(_unpad(u), _unpad(v),
-                                                 _unpad(w), cfg)
+            uu, vv, ww = vorticity_confinement3d(_unpad(u, 1),
+                                                 _unpad(v, 2),
+                                                 _unpad(w, 3), cfg)
             u, v, w = _pad(uu), _pad(vv), _pad(ww)
     if cfg.visc:
-        u = _pad(diffuse3d(1, _unpad(u), cfg, cfg.visc))
-        v = _pad(diffuse3d(2, _unpad(v), cfg, cfg.visc))
-        w = _pad(diffuse3d(3, _unpad(w), cfg, cfg.visc))
+        u = _pad(diffuse3d(1, _unpad(u, 1), cfg, cfg.visc))
+        v = _pad(diffuse3d(2, _unpad(v, 2), cfg, cfg.visc))
+        w = _pad(diffuse3d(3, _unpad(w, 3), cfg, cfg.visc))
     u, v, w = project3d(u, v, w, cfg, true_extents=te)
     u0, v0, w0 = u, v, w
     if fused_advect:
@@ -794,7 +801,8 @@ def step3d(state: GridState3D, cfg: StamConfig,
         dens, temp = advect3d_multi_pallas((dens, temp), (0, 0), u, v, w,
                                            float(cfg.dt * n_),
                                            true_extents=te)
-        u, v, w, dens, temp = map(_unpad, (u, v, w, dens, temp))
+        u, v, w = _unpad(u, 1), _unpad(v, 2), _unpad(w, 3)
+        dens, temp = _unpad(dens), _unpad(temp)
     else:
         dens = _advect3(0, dens, u, v, w, cfg)
         temp = _advect3(0, temp, u, v, w, cfg)
