@@ -75,6 +75,31 @@ def test_unidyn_forces_match_oracle(seed):
     assert_close(acc.delfluid, oacc.delfluid, "delfluid", rtol=1e-3)
 
 
+def test_unidyn_viscosity_own_mass_nonunit():
+    """PARITY.md deviation #7: the unidyn viscosity uses the particle's
+    OWN mass — the physically-intended term — where the reference reads
+    the slot-indexed ``SPptr[i].mass`` of an unrelated particle
+    (FluidGPU-unidyn.cu:307; inert with all-unit masses, live once
+    merging produces masses 2.75/0).  Pin our semantics against the
+    float64 oracle with non-unit masses so the merge-enabled regime is
+    covered, not just the shipped all-ones scenes."""
+    import jax.numpy as jnp
+
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=64)
+    state = mixed_blob(120, 13, cfg, span=0.2)
+    rng = np.random.default_rng(42)
+    mass = np.ones(120, np.float32)
+    mass[rng.uniform(size=120) < 0.3] = 2.75   # post-merge absorbers
+    state = state.replace(mass=jnp.asarray(mass))
+    sorted_state, bt = binning.sort_by_cell(state, cfg)
+    acc = compute_forces(sorted_state, bt, cfg)
+    oacc = accumulate(state_to_dict(sorted_state), cfg, "stencil")
+    assert_close(acc.sum_w, oacc.sum_w, "sum_w")
+    assert_close(acc.dpress, oacc.dpress, "dpress", rtol=1e-3)
+    assert_close(acc.solid_drift, oacc.solid_drift, "solid_drift",
+                 rtol=1e-3)
+
+
 def test_unidyn_subbin_parity_matches_oracle():
     cfg = UNIDYN_CONFIG.replace(max_per_cell=64)
     state = mixed_blob(150, 7, cfg, span=0.15)
@@ -110,15 +135,19 @@ def test_base_step_matches_oracle(steps):
                      atol=1e-5)
 
 
-@pytest.mark.parametrize("steps", [1, 3])
-def test_unidyn_step_matches_oracle(steps):
+@pytest.mark.parametrize("steps,mode", [(1, "stencil"), (3, "stencil"),
+                                        (3, "subbin")])
+def test_unidyn_step_matches_oracle(steps, mode):
+    # mode "subbin" is the UNIDYN preset default (cfg.subbin_parity);
+    # "stencil" overrides per call to pin the full-stencil path too
     cfg = UNIDYN_CONFIG.replace(max_per_cell=64)
     state = mixed_blob(120, 11, cfg, span=0.2)
     ref = state_to_dict(state)
     cur = state
     for _ in range(steps):
-        cur, _ = sph_step(cur, cfg)
-        ref = oracle_step(ref, cfg, "stencil")
+        cur, _ = sph_step(cur, cfg,
+                          subbin_parity=None if mode == "subbin" else False)
+        ref = oracle_step(ref, cfg, mode)
     got = state_to_dict(cur)
     gi = np.argsort(got["pid"])
     ri = np.argsort(ref["pid"])

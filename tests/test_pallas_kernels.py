@@ -414,3 +414,53 @@ def test_step3d_padded_flow_matches_dense_interpret():
                                    np.asarray(getattr(ref, f)),
                                    atol=5e-6, err_msg=f)
     np.testing.assert_allclose(float(res_got), float(res_ref), atol=1e-5)
+
+
+def test_unidyn_subbin_pallas_matches_oracle_interpret():
+    """The octant sub-bin predicate inside the Pallas column kernels
+    (reference DEFAULT unidyn semantics, FluidGPU-unidyn.cu:181-192,
+    579-583) matches both the XLA subbin path and the O(N^2) oracle."""
+    import sys
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import UNIDYN_CONFIG
+    from tpufluids.forces import compute_forces
+    from tpufluids.oracle import accumulate, state_to_dict
+    from tpufluids.sph_pallas import unidyn_forces_pallas
+    sys.path.insert(0, "tests")
+    from test_forces_vs_oracle import mixed_blob
+    # default unidyn geometry (cell 0.12 ~ the 0.12 support) so the
+    # octant restriction actually removes pairs; dense blob so several
+    # home cells exceed the threshold
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=64)
+    state = mixed_blob(150, 7, cfg, span=0.15)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    ref = compute_forces(ss, bt, cfg, subbin_parity=True)
+    full = compute_forces(ss, bt, cfg, subbin_parity=False)
+    # the mode must actually bite on this blob
+    assert not np.allclose(np.asarray(ref.sum_w), np.asarray(full.sum_w))
+    with pltpu.force_tpu_interpret_mode():
+        got = unidyn_forces_pallas(ss, bt, cfg, subbin_threshold=6)
+    assert int(got["overflow"]) == 0
+    for name, a in (("sum_w", ref.sum_w), ("dpress", ref.dpress),
+                    ("diffusion", ref.diffusion),
+                    ("vel_grad", ref.vel_grad),
+                    ("stress_accel", ref.stress_accel),
+                    ("solid_drift", ref.solid_drift),
+                    ("fluid_drift", ref.fluid_drift),
+                    ("mixture_accel", ref.mixture_accel),
+                    ("delsolid", ref.delsolid),
+                    ("delfluid", ref.delfluid)):
+        a = np.asarray(a)
+        b = np.asarray(got[name])
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
+                                   err_msg=name)
+    # and against the float64 oracle in subbin mode
+    oacc = accumulate(state_to_dict(ss), cfg, "subbin")
+    for name, o in (("sum_w", oacc.sum_w), ("dpress", oacc.dpress)):
+        o = np.asarray(o)
+        b = np.asarray(got[name])
+        scale = max(1.0, np.abs(o).max())
+        np.testing.assert_allclose(b, o, rtol=2e-4, atol=1e-5 * scale,
+                                   err_msg="oracle_" + name)

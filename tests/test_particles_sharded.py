@@ -73,6 +73,100 @@ def test_unidyn_sharded_matches_single(n_dev):
         rtol=1e-3)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_merge_matches_single(n_dev):
+    """Merge under the sharded step (solver-unidyn.cu:339-349): pairs
+    straddling a cut merge identically to the single-device step via
+    the owner-authoritative pick exchange + pid tiebreak."""
+    from tpufluids.state import make_state
+
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=32, grid_size=16,
+                                cell_size=0.125, merge_dist=0.05)
+    pts = []
+    # one close pair straddling every device cut
+    for xc in ([0.0] if n_dev == 2 else [-0.5, 0.0, 0.5]):
+        pts += [[xc - 0.015, 0.3, 0.1], [xc + 0.015, 0.3, 0.1]]
+    pts += [[0.4, -0.3, 0.2], [0.43, -0.3, 0.2]]   # same-device pair
+    pts += [[-0.6, 0.1, -0.2], [0.7, 0.5, 0.5]]    # unpaired singles
+    n = len(pts)
+    state = make_state(np.array(pts, np.float32), cfg=cfg)
+    n_pairs = (1 if n_dev == 2 else 3) + 1
+
+    metrics = run_and_compare(cfg, state, n_dev, steps=2, cap=n,
+                              fields=("pos", "vel", "mass", "dens"),
+                              rtol=1e-3)
+    assert int(metrics.n_alive) == n - n_pairs  # every pair merged
+    ref = state
+    from tpufluids.step import sph_step
+    for _ in range(2):
+        ref, _ = sph_step(ref, cfg)
+    d = by_pid(state_to_dict(ref))
+    assert (d["mass"] == cfg.merge_mass_new).sum() == n_pairs
+
+
+def test_receiver_slot_exhaustion_counted():
+    """Migrants that find no free slot on the receiver are dropped AND
+    counted into migrate_overflow (receiver-side accounting)."""
+    from tpufluids.state import make_state
+
+    cfg = BASE_CONFIG.replace(max_per_cell=32)
+    # dev 0 (x < 0): two fast particles just left of the cut; dev 1
+    # (x > 0): four stationary particles filling its pool exactly
+    pos = np.array([[-0.001, -0.5, 0.0], [-0.001, 0.5, 0.0],
+                    [0.3, -0.5, 0.0], [0.3, 0.5, 0.0],
+                    [0.6, -0.5, 0.0], [0.6, 0.5, 0.0]], np.float32)
+    vel = np.zeros((6, 3), np.float32)
+    vel[:2, 0] = 3.0  # crosses the 0.05-wide cut cell within ~2 steps
+    state = make_state(pos, vel, cfg=cfg)
+    mesh = make_mesh(2)
+    sharded = distribute(state, mesh, cfg, capacity_per_device=4)
+    step = make_sharded_step(mesh, cfg, n_steps=3)
+    out, metrics = step(sharded)
+    assert int(metrics.migrate_overflow) == 2
+    assert int(metrics.n_alive) == 4
+
+
+@pytest.mark.parametrize("variant", ["base", "unidyn"])
+def test_sharded_pallas_backend_interpret(variant):
+    """The sharded step with the Pallas force backend (slab GridSpec,
+    gx != gy) matches the XLA sharded step — interpret mode on the CPU
+    mesh (real TPU validation: verify/check_pallas_vs_xla_tpu.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if variant == "base":
+        cfg = BASE_CONFIG.replace(max_per_cell=32)
+        state = random_blob(120, seed=3, span=0.5)
+    else:
+        from tests.test_forces_vs_oracle import mixed_blob
+        cfg = UNIDYN_CONFIG.replace(max_per_cell=64, grid_size=16,
+                                    cell_size=0.125)
+        state = mixed_blob(100, 11, cfg, span=0.6, boundary_frac=0.1)
+    mesh = make_mesh(2)
+    cap = 140
+
+    ref_sharded = distribute(state, mesh, cfg.replace(force_backend="xla"),
+                             cap)
+    step_xla = make_sharded_step(mesh, cfg.replace(force_backend="xla"),
+                                 n_steps=2)
+    ref_out, _ = step_xla(ref_sharded)
+    refd = by_pid(state_to_dict(collect(ref_out)))
+
+    cfgp = cfg.replace(force_backend="pallas",
+                       pallas_col_cap=64)
+    sharded = distribute(state, mesh, cfgp, cap)
+    step_p = make_sharded_step(mesh, cfgp, n_steps=2)
+    with pltpu.force_tpu_interpret_mode():
+        out, metrics = step_p(sharded)
+    outd = by_pid(state_to_dict(collect(out)))
+
+    assert int(metrics.bin_overflow) == 0
+    np.testing.assert_array_equal(outd["pid"], refd["pid"])
+    for f in ("pos", "vel", "dens", "press"):
+        scale = max(1.0, np.abs(refd[f]).max())
+        np.testing.assert_allclose(outd[f], refd[f], rtol=3e-4,
+                                   atol=1e-5 * scale, err_msg=f)
+
+
 def test_migration_happens():
     """Particles with strong x velocity cross slabs and stay conserved."""
     cfg = BASE_CONFIG.replace(max_per_cell=32)

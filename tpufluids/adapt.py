@@ -10,10 +10,11 @@ ships commented out (solver-unidyn.cu:495-542).
 
 Here both are deterministic masked ops on the fixed-capacity pool:
 
-* merge: mutual-nearest eligible pairs merge; the lower sorted index
-  absorbs (mass = merge_mass_new, averaged pos/vel), the victim's
-  ``alive`` mask clears (no teleport needed — dead slots already sort
-  to the sentinel bin).
+* merge: mutual-nearest eligible pairs merge; the lower PID absorbs
+  (mass = merge_mass_new, averaged pos/vel), the victim's ``alive``
+  mask clears (no teleport needed — dead slots already sort to the
+  sentinel bin).  The pid tiebreak is device-invariant, so the sharded
+  step resolves cut-straddling pairs identically on both owners.
 * split: flagged particles re-inject a child into a free (dead) slot
   with the mother's velocity and a y offset, implementing the latent
   host block.
@@ -28,18 +29,26 @@ from tpufluids.config import SPHConfig
 from tpufluids.state import ParticleState
 
 
-def apply_merges(state: ParticleState, merge_partner: jax.Array,
-                 cfg: SPHConfig) -> ParticleState:
-    """Deterministic merge resolution: a pair (i, j) merges iff each is
-    the other's nearest eligible partner; the lower index absorbs."""
+def resolve_merges(state: ParticleState, partner_row: jax.Array,
+                   pick_pid: jax.Array, cfg: SPHConfig) -> ParticleState:
+    """Apply merge outcomes given each row's nearest-eligible-partner
+    row (``partner_row``, for the partner's pos/vel data; -1 if none)
+    and the authoritative pid picked by each row (``pick_pid``; under
+    spatial decomposition the picks of halo rows come from their owner
+    device, tpufluids.shard.particles).
+
+    A pair merges iff the picks are mutual (my partner picked my pid);
+    the LOWER pid absorbs (mass = merge_mass_new, averaged pos/vel) and
+    the higher pid dies.  Pid-based matching is device-invariant: both
+    sides of a slab cut resolve the same pair identically, whereas a
+    local-row tiebreak would diverge between devices."""
     n = state.capacity
-    iota = jnp.arange(n, dtype=jnp.int32)
-    p = merge_partner
-    has = p >= 0
-    pc = jnp.clip(p, 0, n - 1)
-    mutual = has & (p[pc] == iota) & (pc != iota)
-    absorber = mutual & (iota < pc)
-    victim = mutual & (iota > pc)
+    pc = jnp.clip(partner_row, 0, n - 1)
+    has = (partner_row >= 0) & (pick_pid >= 0)
+    # mutual: my partner's (authoritative) pick is me
+    mutual = has & (pick_pid[pc] == state.pid) & (pick_pid != state.pid)
+    absorber = mutual & (state.pid < pick_pid)
+    victim = mutual & (state.pid > pick_pid)
 
     pos = jnp.where(absorber[:, None],
                     (state.pos + state.pos[pc]) / 2.0, state.pos)
@@ -49,6 +58,17 @@ def apply_merges(state: ParticleState, merge_partner: jax.Array,
     mass = jnp.where(victim, 0.0, mass)
     alive = state.alive & (~victim)
     return state.replace(pos=pos, vel=vel, mass=mass, alive=alive)
+
+
+def apply_merges(state: ParticleState, merge_partner: jax.Array,
+                 cfg: SPHConfig) -> ParticleState:
+    """Deterministic merge resolution: a pair (i, j) merges iff each is
+    the other's nearest eligible partner; the lower PID absorbs (see
+    resolve_merges)."""
+    n = state.capacity
+    pick_pid = jnp.where(merge_partner >= 0,
+                         state.pid[jnp.clip(merge_partner, 0, n - 1)], -1)
+    return resolve_merges(state, merge_partner, pick_pid, cfg)
 
 
 def apply_splits(state: ParticleState, cfg: SPHConfig) -> ParticleState:

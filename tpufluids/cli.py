@@ -43,8 +43,11 @@ def build_parser():
         p = sub.add_parser(name)
         _add_common(p)
         p.add_argument("--particles", type=int, default=None)
-        p.add_argument("--subbin-parity", action="store_true",
-                       help="reference two-level-binning stencil semantics")
+        p.add_argument("--subbin-parity",
+                       action=argparse.BooleanOptionalAction, default=None,
+                       help="reference two-level-binning stencil semantics "
+                            "(default: on for unidyn, off for base — the "
+                            "reference's active behavior)")
         p.add_argument("--split-reinjection", action="store_true")
     for name in ("smoke2d", "plume3d", "grid3d", "grid3d_sharded"):
         p = sub.add_parser(name)
@@ -83,6 +86,14 @@ def run_sph(args):
         cfg = BASE_CONFIG
         state = base_dam(cfg, n=args.particles or 8000)
         varnames = ("dens", "cellnumber")   # solver.cu:108
+        if args.particles and args.particles != 8000:
+            # the preset pallas_col_cap=80 is tuned to the default
+            # 8000-particle dam; a larger dam packs taller (x, y)
+            # columns, which would silently overflow (dropped force
+            # pairs, surfaced only via bin_overflow) — derive the cap
+            # from the actual initial column occupancy instead
+            from tpufluids.binning import suggest_col_cap
+            cfg = cfg.replace(pallas_col_cap=suggest_col_cap(state, cfg))
     else:
         cfg = UNIDYN_CONFIG
         if args.split_reinjection:
@@ -113,7 +124,7 @@ def run_sph(args):
                          snapshot_every=args.snapshot_every
                          if (snap or args.checkpoint_every) else 0,
                          snapshot_fn=cb,
-                         subbin_parity=getattr(args, "subbin_parity", False))
+                         subbin_parity=getattr(args, "subbin_parity", None))
     jax.block_until_ready(state.pos)
     dt = time.perf_counter() - t0
     if snap:

@@ -116,6 +116,18 @@ class SPHConfig:
     wall_limit: float = 0.98
     wall_clamp: float = 0.97
 
+    # --- two-level binning (FluidGPU-unidyn.cu:181-192, 569-869) ------------
+    # In the reference's unidyn variant the octant sub-bin refinement is
+    # the ACTIVE default: every cell with population > subbin_threshold
+    # skips the coarse kernel and is processed by the fine kernel
+    # mykernel3 with the 8-cell octant stencil (launch at
+    # solver-unidyn.cu:379).  subbin_parity=True reproduces those
+    # stencil semantics (UNIDYN_CONFIG default); False uses the full
+    # 27-cell stencil everywhere (a superset of the interaction set).
+    # Callers may override per call (step.sph_step(subbin_parity=...)).
+    subbin_parity: bool = False
+    subbin_threshold: int = 6
+
     # --- adaptive resolution (merge/split; FluidGPU-unidyn.cu:261-285) ------
     # merge distance threshold; the reference ships with the sentinel -10.0
     # which disables merging (ds <= -10 is never true for ds > 0).
@@ -193,4 +205,7 @@ UNIDYN_CONFIG = SPHConfig(
     kc=1e9,
     dt=0.0018,
     max_per_cell=32,
+    # the reference's default: cells with population > 6 use the octant
+    # sub-bin stencil (mykernel3, solver-unidyn.cu:379)
+    subbin_parity=True,
 )

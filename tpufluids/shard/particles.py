@@ -43,9 +43,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpufluids import adapt
 from tpufluids.binning import GridSpec, cell_coords, sort_by_cell
 from tpufluids.config import SPHConfig
-from tpufluids.forces import compute_forces
 from tpufluids.integrate import update
 from tpufluids.state import ParticleState
+from tpufluids.step import dispatch_forces, use_pallas_forces
 
 AXIS = "x"
 
@@ -133,13 +133,16 @@ class ShardedMetrics(NamedTuple):
 
 def make_sharded_step(mesh: Mesh, cfg: SPHConfig, halo_capacity: int = 512,
                       migrate_capacity: int = 256, n_steps: int = 1,
-                      subbin_parity: bool = False):
+                      subbin_parity=None):
     """Build a jitted sharded SPH step (scan of ``n_steps``).
 
     Input/output: a ParticleState whose arrays have leading dim
     n_dev * capacity_per_device, sharded along that dim.  Use
     ``distribute`` to build one from a dense state.
     """
+    from tpufluids.step import resolve_subbin
+
+    subbin_parity = resolve_subbin(cfg, subbin_parity)
     n_dev = mesh.devices.size
     g = cfg.grid_size
     if g % n_dev:
@@ -169,7 +172,8 @@ def make_sharded_step(mesh: Mesh, cfg: SPHConfig, halo_capacity: int = 512,
             lambda a, b: jnp.concatenate([a, b], axis=0), local, halo)
 
         grid = GridSpec(g=g, x_planes=gpd + 2, x_offset=lo - 1)
-        comb, bt = sort_by_cell(comb, cfg, grid)
+        use_pallas = use_pallas_forces(cfg, subbin_parity)
+        comb, bt = sort_by_cell(comb, cfg, grid, runs=not use_pallas)
         owned_sorted = owned_flag[bt.order]
 
         # ---- drift-velocity re-exchange between pass A and pass B ------
@@ -196,9 +200,42 @@ def make_sharded_step(mesh: Mesh, cfg: SPHConfig, halo_capacity: int = 512,
                 jnp.where(rval[:, None], recv[:, 3:], fdv_orig[hrows]))
             return sdv_orig[bt.order], fdv_orig[bt.order]
 
-        acc = compute_forces(comb, bt, cfg, subbin_parity=subbin_parity,
-                             drift_fix=drift_fix
-                             if cfg.variant != "base" else None)
+        acc, kovf = dispatch_forces(
+            comb, bt, cfg, subbin_parity=subbin_parity,
+            drift_fix=drift_fix if cfg.variant != "base" else None,
+            grid=grid)
+        bt = bt._replace(overflow=bt.overflow + kovf)
+
+        if cfg.variant != "base" and cfg.merge_dist > 0:
+            # ---- merge across the cut (solver-unidyn.cu:339-349) -------
+            # Local partner picks are complete for owned rows (the full
+            # one-plane halo is present) but NOT for halo rows, whose
+            # own neighborhoods extend past the exchanged plane — fetch
+            # their authoritative picks from the owner, exactly like the
+            # drift-velocity re-exchange above.  Picks are expressed as
+            # pids so the mutual-nearest resolution (adapt.resolve_merges)
+            # is device-invariant.
+            nrows = comb.capacity
+            mp = acc.merge_partner
+            pick = jnp.where(
+                mp >= 0, comb.pid[jnp.clip(mp, 0, nrows - 1)],
+                -1).astype(jnp.float32)
+            pick_orig = jnp.zeros((nrows,), jnp.float32).at[
+                bt.order].set(pick)
+            # same packing order as the halo buffers: [from-left(buf_r
+            # shifted +1), from-right(buf_l shifted -1)]
+            pk_l, pval_l = _shift(pick_orig[src_r][:, None], val_r,
+                                  +1, n_dev)
+            pk_r, pval_r = _shift(pick_orig[src_l][:, None], val_l,
+                                  -1, n_dev)
+            recv = jnp.concatenate([pk_l, pk_r], axis=0)[:, 0]
+            rval = jnp.concatenate([pval_l, pval_r], axis=0)
+            hrows = jnp.arange(2 * H, dtype=jnp.int32) + local.capacity
+            pick_orig = pick_orig.at[hrows].set(
+                jnp.where(rval, recv, pick_orig[hrows]))
+            pick_sorted = pick_orig[bt.order].astype(jnp.int32)
+            comb = adapt.resolve_merges(comb, mp, pick_sorted, cfg)
+
         comb = update(comb, acc, cfg)
 
         # ---- drop halo rows: stable-sort owned rows to the front --------
@@ -217,7 +254,7 @@ def make_sharded_step(mesh: Mesh, cfg: SPHConfig, halo_capacity: int = 512,
         local = local.replace(alive=local.alive & ~(go_r | go_l))
         incoming = _unpack_rows(jnp.concatenate([in_l, in_r], axis=0),
                                 jnp.concatenate([ival_l, ival_r], axis=0))
-        local = _insert(local, incoming)
+        local, dropped = _insert(local, incoming)
 
         if cfg.variant != "base" and cfg.split_reinjection:
             local = adapt.apply_splits(local, cfg)
@@ -227,7 +264,7 @@ def make_sharded_step(mesh: Mesh, cfg: SPHConfig, halo_capacity: int = 512,
             n_alive=jax.lax.psum(jnp.sum(local.alive.astype(jnp.int32)),
                                  AXIS),
             halo_overflow=jax.lax.psum(ovf_r + ovf_l, AXIS),
-            migrate_overflow=jax.lax.psum(movf_r + movf_l, AXIS),
+            migrate_overflow=jax.lax.psum(movf_r + movf_l + dropped, AXIS),
             bin_overflow=jax.lax.psum(bt.overflow, AXIS),
             max_speed=jax.lax.pmax(jnp.max(jnp.where(
                 fluid_alive, jnp.linalg.norm(local.vel, axis=-1), 0.0)),
@@ -239,14 +276,24 @@ def make_sharded_step(mesh: Mesh, cfg: SPHConfig, halo_capacity: int = 512,
     mspec = jax.tree_util.tree_map(lambda _: P(),
                                    ShardedMetrics(*(0,) * 5))
 
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the shard_map vma checker would reject
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec_tree,),
-             out_specs=(spec_tree, mspec))
+             out_specs=(spec_tree, mspec), check_vma=False)
     def run_local(state):
         def body(s, _):
             return one_step(s)
 
         state, metrics = jax.lax.scan(body, state, None, length=n_steps)
-        return state, jax.tree_util.tree_map(lambda a: a[-1], metrics)
+        # overflow counters accumulate over the scan (a drop in any
+        # step must be visible, not just the last step's); gauges
+        # report the final step
+        return state, ShardedMetrics(
+            n_alive=metrics.n_alive[-1],
+            halo_overflow=jnp.sum(metrics.halo_overflow),
+            migrate_overflow=jnp.sum(metrics.migrate_overflow),
+            bin_overflow=jnp.sum(metrics.bin_overflow),
+            max_speed=metrics.max_speed[-1])
 
     return jax.jit(run_local)
 
@@ -258,9 +305,12 @@ def _state_template():
                          stress=z, boundary=z, alive=z, split=z, pid=z)
 
 
-def _insert(state: ParticleState, incoming: ParticleState) -> ParticleState:
+def _insert(state: ParticleState, incoming: ParticleState):
     """Insert incoming alive rows into free slots (deterministic rank
-    matching, like adapt.apply_splits)."""
+    matching, like adapt.apply_splits).  Returns (state, n_dropped):
+    incoming rows that find no free slot are dropped AND counted —
+    the receiver-side half of the migrate-overflow accounting (the
+    sender-side pack overflow is counted in one_step)."""
     n = state.capacity
     m = incoming.capacity
     free = ~state.alive
@@ -278,13 +328,12 @@ def _insert(state: ParticleState, incoming: ParticleState) -> ParticleState:
     for name, _ in _FIELDS:
         a = getattr(state, name)
         b = getattr(incoming, name)
-        # only serve rows that fit; unserved rows are dropped (counted
-        # as migrate overflow upstream via capacity sizing)
         bb = jnp.where(served.reshape((m,) + (1,) * (b.ndim - 1)),
                        b, jnp.zeros_like(b))
         out[name] = a.at[dst].set(bb, mode="drop")
     out["alive"] = state.alive.at[dst].set(served, mode="drop")
-    return ParticleState(**out)
+    n_dropped = jnp.sum((inc & ~served).astype(jnp.int32))
+    return ParticleState(**out), n_dropped
 
 
 # ---------------------------------------------------------------------------

@@ -46,23 +46,29 @@ F = 128          # packed row width (lane-aligned)
 _X, _V, _DENS, _PRESS, _BND, _ALIVE = 0, 3, 6, 7, 8, 9
 
 
-def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, g, w_cap,
-                 body_fn, acc0):
+def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, gx, gy,
+                 w_cap, body_fn, acc0):
     """Double-buffered sweep over the 9 neighbor columns.
 
     The window DMAs dominated the kernels' latency when issued
     start/wait back-to-back (9 serialized round trips per program);
     here window r+1 streams into the alternate VMEM slot while window
-    r is being computed.  ``body_fn(acc, wj, w_count)`` does the pair
-    math for one window block ``wj`` (w_cap, F) with ``w_count`` valid
-    rows.  The loop is Python-unrolled so slots/semaphores are static.
+    r is being computed.  ``body_fn(acc, wj, w_count, r)`` does the
+    pair math for one window block ``wj`` (w_cap, F) with ``w_count``
+    valid rows; ``r`` is the static window index (its (dx, dy) column
+    offset is (r // 3 - 1, r % 3 - 1)).  The loop is Python-unrolled
+    so slots/semaphores are static.
+
+    ``gx``/``gy`` are the x/y column-grid extents — the full cube has
+    gx == gy == cfg.grid_size; a sharded x-slab has gx == x_planes
+    (binning.GridSpec).
     """
     def rng(r):
         dx = r // 3 - 1
         dy = r % 3 - 1
         nx, ny = cx + dx, cy + dy
-        ok = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
-        ncc = jnp.clip(nx * g + ny, 0, g * g - 1)
+        ok = (nx >= 0) & (nx < gx) & (ny >= 0) & (ny < gy)
+        ncc = jnp.clip(nx * gy + ny, 0, gx * gy - 1)
         w_start = col_start[ncc]
         w_count = jnp.minimum(
             jnp.where(ok, col_start[ncc + 1] - w_start, 0), w_cap)
@@ -82,17 +88,17 @@ def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, g, w_cap,
             nxt = rng(r + 1)
             copy(1 - slot, nxt[0]).start()
         copy(slot, w_start).wait()
-        acc = body_fn(acc, win2[slot], w_count)
+        acc = body_fn(acc, win2[slot], w_count, r)
         if r + 1 < NCOLS:
             w_start, w_count = nxt
     return acc
 
 
 def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
-                g, b, w_cap, cfg: SPHConfig):
+                gx, gy, b, w_cap, cfg: SPHConfig):
     t = pl.program_id(0)
-    cx = t // g
-    cy = t % g
+    cx = t // gy
+    cy = t % gy
     h_start = col_start[t]
     h_count = jnp.minimum(col_start[t + 1] - h_start, b)
 
@@ -101,11 +107,11 @@ def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
     def _do_column():
         _column_body(col_start, packed_hbm, out_ref, home, win2, sems,
                      t=t, cx=cx, cy=cy, h_start=h_start, h_count=h_count,
-                     g=g, b=b, w_cap=w_cap, cfg=cfg)
+                     gx=gx, gy=gy, b=b, w_cap=w_cap, cfg=cfg)
 
 
 def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
-                 t, cx, cy, h_start, h_count, g, b, w_cap, cfg):
+                 t, cx, cy, h_start, h_count, gx, gy, b, w_cap, cfg):
     cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
                                sems.at[2])
     cp.start()
@@ -128,7 +134,7 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
     i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) < h_count)
                & (irow(_ALIVE) > 0.5))
 
-    def window_body(acc, wj, w_count):
+    def window_body(acc, wj, w_count, r):
         def jcol(c):
             return wj[:, c][:, None]                       # (W, 1)
 
@@ -177,7 +183,7 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
         return acc + jnp.stack([sum_w, dpx, dpy, dpz], axis=0)  # (4, B)
 
     acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
-                       g=g, w_cap=w_cap, body_fn=window_body,
+                       gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
                        acc0=jnp.zeros((4, b), jnp.float32))
     # tiles are written in (b, F) orientation (one transpose per
     # program) so the map back to particle order is a cheap row
@@ -187,13 +193,22 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
         [acc.T, jnp.zeros((b, F - 4), jnp.float32)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "b", "w_cap"))
+def _grid_extents(cfg: SPHConfig, grid):
+    """(gx, gy) column-grid extents for a GridSpec (None = full cube).
+    Columns run along z; the column id is lx * gy + cy."""
+    if grid is None:
+        return cfg.grid_size, cfg.grid_size
+    return grid.x_planes, grid.g
+
+
 def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
-                       cfg: SPHConfig, b: int = 128, w_cap: int = 128):
+                       cfg: SPHConfig, b: int = 128, w_cap: int = 128,
+                       grid=None):
     """Compute (sum_w, dpress, overflow) for the base variant with the
     column-window Pallas kernel.  ``sorted_state`` must be cell-sorted
-    with the full-cube GridSpec."""
-    g = cfg.grid_size
+    with the same ``grid`` (binning.GridSpec; None = full cube — a
+    sharded x-slab passes its local GridSpec, tpufluids.shard.particles)."""
+    gx, gy = _grid_extents(cfg, grid)
     n = sorted_state.capacity
 
     packed = jnp.zeros((n + b, F), jnp.float32)
@@ -206,15 +221,16 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     packed = packed.at[:n, _ALIVE].set(
         (sorted_state.alive & bt.in_dom).astype(jnp.float32))
 
-    # col_start[c] = first sorted row of column c (G consecutive cells)
-    col_start = bt.cell_start[0:g * g * g + 1:g]          # (G^2 + 1,)
+    # col_start[c] = first sorted row of column c (gy consecutive cells)
+    col_start = bt.cell_start[0:gx * gy * gy + 1:gy]      # (gx*gy + 1,)
     col_count = col_start[1:] - col_start[:-1]
     overflow = jnp.sum(jnp.maximum(col_count - b, 0))
 
-    kern = functools.partial(_sph_kernel, g=g, b=b, w_cap=w_cap, cfg=cfg)
+    kern = functools.partial(_sph_kernel, gx=gx, gy=gy, b=b, w_cap=w_cap,
+                             cfg=cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(g * g,),
+        grid=(gx * gy,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         # tiles in (b, F) orientation: particle mapping is a row gather
         out_specs=pl.BlockSpec((b, F), lambda t, cs: (t, 0)),
@@ -227,12 +243,12 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g * g * b, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gx * gy * b, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(col_start.astype(jnp.int32), packed)
 
-    res = _tile_to_particle(out, bt, col_start, n, g, b)
+    res = _tile_to_particle(out, bt, col_start, n, gx, gy, b)
     return res[:, 0], res[:, 1:4], overflow
 
 
@@ -243,6 +259,8 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
 
 # extended packed layout (columns 0-9 shared with the base layout)
 _MASS, _SOLID, _FLUID, _DP, _SIG, _SDV, _FDV = 10, 11, 12, 13, 16, 25, 28
+# sub-bin parity extras: home-cell population + octant id
+_HCNT, _OCT = 31, 32
 
 # pass A output rows
 _A_SUMW, _A_DP, _A_DIFF, _A_VG, _A_SA, _A_SDV, _A_FDV, _A_CNT = \
@@ -272,6 +290,8 @@ def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, b: int):
     packed = packed.at[:n, _FLUID].set(s.fluid)
     packed = packed.at[:n, _DP:_DP + 3].set(s.delpress)
     packed = packed.at[:n, _SIG:_SIG + 9].set(s.stress.reshape(n, 9))
+    packed = packed.at[:n, _HCNT].set(bt.home_count.astype(jnp.float32))
+    packed = packed.at[:n, _OCT].set(bt.octant.astype(jnp.float32))
     return packed
 
 
@@ -310,14 +330,39 @@ def _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg):
     dw = grad_w_spiky(ds, h)                 # FluidGPU.cu:35-43
     return dict(rab=(rabx, raby, rabz), vab=(vabx, vaby, vabz),
                 ds=ds, ds2=ds2, ds_safe=ds_safe, d=d, mask=mask,
-                dkf=dw / ds_safe, irow=irow, jcol=jcol)
+                dkf=dw / ds_safe, dzc=czj - czi, irow=irow, jcol=jcol)
+
+
+def _subbin_mask(gm, irow, r, subbin_threshold):
+    """Octant sub-bin pair predicate (parity with mykernel3's 8-cell
+    stencil, FluidGPU-unidyn.cu:579-583): home particles in cells with
+    population > threshold restrict their stencil to the per-axis
+    offsets {0, dir_axis}, where dir is the half-cell octant direction
+    (binning.octant: bit0 = x upper half, bit1 = y upper, bit2 = z
+    LOWER — the reference's inverted z test).  dx/dy are static per
+    window; dz varies per pair."""
+    dx = r // 3 - 1
+    dy = r % 3 - 1
+    o = irow(_OCT)                              # (1, B) float 0..7
+    overfull = irow(_HCNT) > subbin_threshold
+    dirz = jnp.where(o >= 4, -1.0, 1.0)
+    ok = (gm["dzc"] == 0.0) | (gm["dzc"] == dirz)
+    if dx != 0:
+        dirx = jnp.where(jnp.mod(o, 2.0) >= 1.0, 1.0, -1.0)
+        ok = ok & (dirx == dx)
+    if dy != 0:
+        diry = jnp.where(jnp.mod(jnp.floor(o / 2.0), 2.0) >= 1.0,
+                         1.0, -1.0)
+        ok = ok & (diry == dy)
+    return ~overfull | ok
 
 
 def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
-                     g, b, w_cap, cfg: SPHConfig):
+                     gx, gy, b, w_cap, cfg: SPHConfig,
+                     subbin_threshold=None):
     t = pl.program_id(0)
-    cx = t // g
-    cy = t % g
+    cx = t // gy
+    cy = t % gy
     h_count = jnp.minimum(col_start[t + 1] - col_start[t], b)
 
     @pl.when(h_count > 0)
@@ -345,7 +390,7 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
         s_safe = jnp.where(si == 0, 1.0, si)
         f_safe = jnp.where(fi == 0, 1.0, fi)
 
-        def window_body(acc, wj, w_count):
+        def window_body(acc, wj, w_count, r):
             def jcol(c):
                 return wj[:, c][:, None]
 
@@ -353,6 +398,8 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
                         < w_count) & (jcol(_ALIVE) > 0.5))
             gm = _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg)
             mask = gm["mask"]
+            if subbin_threshold is not None:
+                mask = mask & _subbin_mask(gm, irow, r, subbin_threshold)
             rabx, raby, rabz = gm["rab"]
             vabx, vaby, vabz = gm["vab"]
             ds, ds2, d, dkf = gm["ds"], gm["ds2"], gm["d"], gm["dkf"]
@@ -435,17 +482,18 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
             return acc + jnp.stack(rows, axis=0)
 
         acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
-                           g=g, w_cap=w_cap, body_fn=window_body,
+                           gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
                            acc0=jnp.zeros((_A_ROWS, b), jnp.float32))
         out_ref[...] = jnp.concatenate(
             [acc.T, jnp.zeros((b, F - _A_ROWS), jnp.float32)], axis=1)
 
 
 def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win2, sems, *,
-                     g, b, w_cap, cfg: SPHConfig):
+                     gx, gy, b, w_cap, cfg: SPHConfig,
+                     subbin_threshold=None):
     t = pl.program_id(0)
-    cx = t // g
-    cy = t % g
+    cx = t // gy
+    cy = t % gy
     h_count = jnp.minimum(col_start[t + 1] - col_start[t], b)
 
     @pl.when(h_count > 0)
@@ -464,7 +512,7 @@ def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win2, sems, *,
         sdvi = [irow(_SDV + a) for a in range(3)]
         fdvi = [irow(_FDV + a) for a in range(3)]
 
-        def window_body(acc, wj, w_count):
+        def window_body(acc, wj, w_count, r):
             def jcol(c):
                 return wj[:, c][:, None]
 
@@ -472,6 +520,8 @@ def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win2, sems, *,
                         < w_count) & (jcol(_ALIVE) > 0.5))
             gm = _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg)
             mask = gm["mask"]
+            if subbin_threshold is not None:
+                mask = mask & _subbin_mask(gm, irow, r, subbin_threshold)
             rab = gm["rab"]
             vab = gm["vab"]
             dkf = gm["dkf"]
@@ -514,17 +564,19 @@ def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win2, sems, *,
             return acc + jnp.stack(rows, axis=0)
 
         acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
-                           g=g, w_cap=w_cap, body_fn=window_body,
+                           gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
                            acc0=jnp.zeros((_B_ROWS, b), jnp.float32))
         out_ref[...] = jnp.concatenate(
             [acc.T, jnp.zeros((b, F - _B_ROWS), jnp.float32)], axis=1)
 
 
-def _run_column_kernel(kern_fn, col_start, packed, g, b, w_cap, cfg):
-    kern = functools.partial(kern_fn, g=g, b=b, w_cap=w_cap, cfg=cfg)
+def _run_column_kernel(kern_fn, col_start, packed, gx, gy, b, w_cap, cfg,
+                       **kern_kw):
+    kern = functools.partial(kern_fn, gx=gx, gy=gy, b=b, w_cap=w_cap,
+                             cfg=cfg, **kern_kw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(g * g,),
+        grid=(gx * gy,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((b, F), lambda t, cs: (t, 0)),
         scratch_shapes=[
@@ -536,53 +588,70 @@ def _run_column_kernel(kern_fn, col_start, packed, g, b, w_cap, cfg):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g * g * b, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gx * gy * b, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(col_start.astype(jnp.int32), packed)
 
 
-def _tile_to_particle(out, bt, col_start, n, g, b):
-    """Map (g^2*b, F) tile rows back to sorted-particle order with ONE
+def _tile_to_particle(out, bt, col_start, n, gx, gy, b):
+    """Map (gx*gy*b, F) tile rows back to sorted-particle order with ONE
     row gather (per-index cost, independent of row width — the same
     trick as forces.pair_geometry's packed gather)."""
-    cid = jnp.clip(bt.cid, 0, g * g * g)
-    col_of = jnp.minimum(cid // g, g * g - 1)
+    num_cells = gx * gy * gy
+    cid = jnp.clip(bt.cid, 0, num_cells)
+    col_of = jnp.minimum(cid // gy, gx * gy - 1)
     rank = jnp.arange(n, dtype=jnp.int32) - col_start[col_of]
-    valid = (bt.cid < g * g * g) & (rank >= 0) & (rank < b)
+    valid = (bt.cid < num_cells) & (rank >= 0) & (rank < b)
     rows = jnp.where(valid, col_of * b + jnp.clip(rank, 0, b - 1), 0)
     return jnp.where(valid[:, None], out[rows], 0.0)          # (n, F)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "b", "w_cap"))
 def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
-                         cfg: SPHConfig, b: int = 128, w_cap: int = 128):
+                         cfg: SPHConfig, b: int = 128, w_cap: int = 128,
+                         grid=None, drift_fix=None,
+                         subbin_threshold=None):
     """Full unidyn pair accumulation with the column-window kernels.
+
+    NOT itself jitted: callers run it inside their own jit (step.sph_step,
+    shard.particles.one_step) — the sharded ``drift_fix`` closure
+    captures caller-trace values, which an inner jit boundary would
+    turn into leaked tracers.
 
     Returns a dict with every ForceAccum pair field plus has_pair and
     the column overflow count.  The per-particle granular pass and the
     merge/split triggers stay in XLA (tpufluids.forces semantics).
+
+    ``grid``: binning.GridSpec the state was sorted with (None = full
+    cube).  ``drift_fix``: optional (sdv, fdv) -> (sdv, fdv) hook run
+    between pass A and pass B — the spatial-decomposition point where
+    halo particles' locally-incomplete drift velocities are replaced by
+    owner-computed values (same contract as forces.compute_forces).
     """
-    g = cfg.grid_size
+    gx, gy = _grid_extents(cfg, grid)
     n = sorted_state.capacity
-    col_start = bt.cell_start[0:g * g * g + 1:g]
+    col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
     col_count = col_start[1:] - col_start[:-1]
     overflow = jnp.sum(jnp.maximum(col_count - b, 0))
 
     packed = _pack_unidyn(sorted_state, bt, b)
     out_a = _run_column_kernel(_unidyn_kernel_a, col_start, packed,
-                               g, b, w_cap, cfg)
-    res_a = _tile_to_particle(out_a, bt, col_start, n, g, b)
+                               gx, gy, b, w_cap, cfg,
+                               subbin_threshold=subbin_threshold)
+    res_a = _tile_to_particle(out_a, bt, col_start, n, gx, gy, b)
     sdv = res_a[:, _A_SDV:_A_SDV + 3]
     fdv = res_a[:, _A_FDV:_A_FDV + 3]
+    if drift_fix is not None:
+        sdv, fdv = drift_fix(sdv, fdv)
 
     # pass B reuses pass A's packed buffer with the drift-velocity
     # columns spliced in (a full repack costs ~1.2 ms at 14k particles)
     packed_b = packed.at[:n, _SDV:_SDV + 3].set(sdv)
     packed_b = packed_b.at[:n, _FDV:_FDV + 3].set(fdv)
     out_b = _run_column_kernel(_unidyn_kernel_b, col_start, packed_b,
-                               g, b, w_cap, cfg)
-    res_b = _tile_to_particle(out_b, bt, col_start, n, g, b)
+                               gx, gy, b, w_cap, cfg,
+                               subbin_threshold=subbin_threshold)
+    res_b = _tile_to_particle(out_b, bt, col_start, n, gx, gy, b)
 
     dens = sorted_state.dens
     return dict(

@@ -37,27 +37,44 @@ class StepMetrics(NamedTuple):
     n_split: jax.Array
 
 
-def sph_step(state: ParticleState, cfg: SPHConfig,
-             subbin_parity: bool = False) -> tuple[ParticleState, StepMetrics]:
-    """One physics step. Pure; safe under jit/scan/shard_map."""
-    # the Pallas column-window force backend covers both variants; it
-    # falls back to XLA for subbin parity mode and for merge-enabled
-    # unidyn runs (merge partner search needs the XLA candidate set)
+def resolve_subbin(cfg: SPHConfig, subbin_parity) -> bool:
+    """Per-call override (bool) or the config default (None) — the
+    UNIDYN preset defaults to True, the reference's active two-level
+    binning behavior (solver-unidyn.cu:379)."""
+    return cfg.subbin_parity if subbin_parity is None else subbin_parity
+
+
+def use_pallas_forces(cfg: SPHConfig, subbin_parity=None) -> bool:
+    """Whether the Pallas column-window force backend handles this
+    config.  It covers both variants incl. unidyn subbin-parity mode;
+    it falls back to XLA for base-variant subbin mode (not a reference
+    combination) and for merge-enabled unidyn runs (merge partner
+    search needs the XLA candidate set)."""
+    sp = resolve_subbin(cfg, subbin_parity)
     backend = cfg.force_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    use_pallas = (backend == "pallas" and not subbin_parity
-                  and not (cfg.variant != "base" and cfg.merge_dist > 0))
-    # pallas derives neighbor windows from cell_start alone — skip the
-    # 9-pass run tables
-    state, bt = binning.sort_by_cell(state, cfg, runs=not use_pallas)
+    return (backend == "pallas"
+            and not (sp and cfg.variant == "base")
+            and not (cfg.variant != "base" and cfg.merge_dist > 0))
+
+
+def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
+                    subbin_parity=None, drift_fix=None,
+                    grid=None):
+    """Compute the ForceAccum with the resolved backend; returns
+    (acc, kernel_overflow).  Shared by the single-device step and the
+    sharded step (which passes its local GridSpec + drift_fix hook)."""
+    subbin_parity = resolve_subbin(cfg, subbin_parity)
+    use_pallas = use_pallas_forces(cfg, subbin_parity)
     if use_pallas and cfg.variant == "base":
         from tpufluids.forces import ForceAccum
         from tpufluids.sph_pallas import base_forces_pallas
         n = state.capacity
         sw, dp, kovf = base_forces_pallas(state, bt, cfg,
                                           b=cfg.pallas_col_cap,
-                                          w_cap=cfg.pallas_col_cap)
+                                          w_cap=cfg.pallas_col_cap,
+                                          grid=grid)
         z3 = jnp.zeros((n, 3), jnp.float32)
         z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
@@ -68,16 +85,36 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
             stress_scaled=state.stress, stress_rate=z33,
             split_trigger=jnp.zeros(n, bool),
             merge_partner=jnp.full(n, -1, jnp.int32))
-        bt = bt._replace(overflow=bt.overflow + kovf)
-    elif use_pallas:
+        return acc, kovf
+    if use_pallas:
         from tpufluids.forces import accum_from_pallas
         from tpufluids.sph_pallas import unidyn_forces_pallas
-        r = unidyn_forces_pallas(state, bt, cfg, b=cfg.pallas_col_cap,
-                                 w_cap=cfg.pallas_col_cap)
-        acc = accum_from_pallas(state, r, cfg)
-        bt = bt._replace(overflow=bt.overflow + r["overflow"])
-    else:
-        acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity)
+        r = unidyn_forces_pallas(
+            state, bt, cfg, b=cfg.pallas_col_cap,
+            w_cap=cfg.pallas_col_cap, grid=grid, drift_fix=drift_fix,
+            subbin_threshold=cfg.subbin_threshold if subbin_parity
+            else None)
+        return accum_from_pallas(state, r, cfg), r["overflow"]
+    acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity,
+                         subbin_threshold=cfg.subbin_threshold,
+                         drift_fix=drift_fix)
+    return acc, jnp.zeros((), jnp.int32)
+
+
+def sph_step(state: ParticleState, cfg: SPHConfig,
+             subbin_parity=None) -> tuple[ParticleState, StepMetrics]:
+    """One physics step. Pure; safe under jit/scan/shard_map.
+
+    ``subbin_parity``: None (default) resolves from cfg.subbin_parity;
+    a bool overrides per call."""
+    subbin_parity = resolve_subbin(cfg, subbin_parity)
+    use_pallas = use_pallas_forces(cfg, subbin_parity)
+    # pallas derives neighbor windows from cell_start alone — skip the
+    # 9-pass run tables
+    state, bt = binning.sort_by_cell(state, cfg, runs=not use_pallas)
+    acc, kovf = dispatch_forces(state, bt, cfg,
+                                subbin_parity=subbin_parity)
+    bt = bt._replace(overflow=bt.overflow + kovf)
     if cfg.variant != "base" and cfg.merge_dist > 0:
         state = adapt.apply_merges(state, acc.merge_partner, cfg)
     state = update(state, acc, cfg)
@@ -100,7 +137,7 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "subbin_parity"))
 def run_chunk(state: ParticleState, cfg: SPHConfig, n_steps: int,
-              subbin_parity: bool = False):
+              subbin_parity=None):
     """Run ``n_steps`` under lax.scan; returns final state + stacked
     per-step metrics."""
 
@@ -113,12 +150,12 @@ def run_chunk(state: ParticleState, cfg: SPHConfig, n_steps: int,
 
 @partial(jax.jit, static_argnames=("cfg", "subbin_parity"))
 def _jitted_sph_step(state: ParticleState, cfg: SPHConfig,
-                     subbin_parity: bool = False):
+                     subbin_parity=None):
     return sph_step(state, cfg, subbin_parity)
 
 
 def run_python(state: ParticleState, cfg: SPHConfig, n_steps: int,
-               subbin_parity: bool = False):
+               subbin_parity=None):
     """Python-driven step loop (one jitted dispatch per step, fenced
     every 8 steps).  Preferred over run_chunk on runtimes where custom
     calls inside lax.scan pay a per-call host round trip (the axon TPU
@@ -140,7 +177,7 @@ def _resolved_backend(cfg: SPHConfig) -> str:
 
 def run(state: ParticleState, cfg: SPHConfig, n_steps: int,
         snapshot_every: int = 0, snapshot_fn=None,
-        subbin_parity: bool = False):
+        subbin_parity=None):
     """Drive the simulation; host callbacks only at snapshot cadence
     (replacing the per-step device sync of the reference,
     solver.cu:189-197).
@@ -150,7 +187,7 @@ def run(state: ParticleState, cfg: SPHConfig, n_steps: int,
     ``lax.scan`` — on runtimes where custom calls inside scan pay a
     per-call host round trip (the axon TPU tunnel, ~25 ms each) the
     scan formulation would erase the kernel speedup."""
-    if _resolved_backend(cfg) == "pallas" and not subbin_parity:
+    if use_pallas_forces(cfg, subbin_parity):
         import numpy as _np
         all_m = []
         for i in range(n_steps):
