@@ -29,6 +29,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # remote compiles through the axon tunnel take 13-250 s; the
+    # persistent cache makes warm re-runs ~3 min total
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     n = 256
     steps = 40
     warmup = 3
@@ -125,6 +130,69 @@ def main():
     except Exception as e:  # never fail the headline metric
         log(f"SPH secondary bench skipped: {e}")
 
+    # secondary: the remaining BASELINE.json configs (1: 2D smoke box,
+    # 2: 64^3 step, 4: buoyant plume, 5: sharded path on this one chip)
+    # so regressions there are driver-visible, not just in hand-run
+    # verify/bench_configs.py output
+    bl = {}
+    try:
+        c1 = stam.StamConfig(n=128, dt=0.1, diff=1e-5, visc=1e-5,
+                             jacobi_iters=20)
+        s1 = stam.make_grid2d(c1)
+        src = jnp.zeros((130, 130), jnp.float32).at[60:68, 4:8].set(5.0)
+        fv = jnp.zeros_like(src).at[60:68, 4:8].set(2.0)
+        sources = {"dens": src, "fv": fv}
+        s1 = stam.run2d_python(s1, c1, 3, sources=sources)
+        float(s1.dens[1, 1])
+        t0 = time.perf_counter()
+        s1 = stam.run2d_python(s1, c1, 30, sources=sources)
+        float(s1.dens[1, 1])
+        bl["config1_smoke2d_128_ms"] = round(
+            (time.perf_counter() - t0) / 30 * 1e3, 2)
+
+        for key, kw in (("config2_grid3d_64_ms", {}),
+                        ("config4_plume3d_64_ms",
+                         dict(buoyancy_alpha=0.05, buoyancy_beta=1.0,
+                              vorticity_eps=2.0))):
+            c = stam.StamConfig(n=64, dt=0.05, diff=1e-5, visc=1e-5,
+                                jacobi_iters=20, red_black=True,
+                                advect_mode="stencil", **kw)
+            s3 = stam.make_grid3d(c)
+            s3 = s3.replace(
+                dens=s3.dens.at[24:40, 24:40, 1:9].set(1.0),
+                temp=s3.temp.at[24:40, 24:40, 1:9].set(3.0))
+            s3, _ = stam.run3d_python(s3, c, 3)
+            float(jnp.sum(s3.u))
+            t0 = time.perf_counter()
+            s3, _ = stam.run3d_python(s3, c, 30)
+            float(jnp.sum(s3.u))
+            bl[key] = round((time.perf_counter() - t0) / 30 * 1e3, 2)
+        log(f"BASELINE configs 1/2/4: {bl}")
+    except Exception as e:  # never fail the headline metric
+        log(f"BASELINE-config secondary bench skipped: {e}")
+
+    try:
+        # config 5 proxy: the sharded step on ONE chip at the headline
+        # size (real multi-chip needs hardware this environment lacks);
+        # gap vs the unsharded headline = the sharded path's overhead
+        from tpufluids.shard import grid_sharded, make_mesh
+        mesh = make_mesh(1)
+        s5 = grid_sharded.shard_state(
+            grid_sharded.to_sharded_layout(state), mesh)
+        step5 = grid_sharded.make_sharded_step(mesh, cfg, n_steps=seg)
+        s5, r5 = step5(s5)
+        float(jnp.sum(s5.u))
+        t0 = time.perf_counter()
+        s5, r5 = step5(s5)
+        float(jnp.sum(s5.u))
+        bl["config5_sharded_1chip_ms"] = round(
+            (time.perf_counter() - t0) / seg * 1e3, 2)
+        log(f"config5 sharded(1 chip) {n}^3: "
+            f"{bl['config5_sharded_1chip_ms']} ms/step, "
+            f"residual {float(r5):.3e}")
+    except Exception as e:
+        log(f"sharded secondary bench skipped: {e}")
+
     print(json.dumps({
         "metric": "cell-updates/sec/chip @ 256^3 stable-fluids step "
                   "(red-black Jacobi x20, vorticity confinement, buoyancy)",
@@ -138,6 +206,7 @@ def main():
             "finite": finite,
             **dct,
             **sph,
+            **bl,
         },
     }))
 

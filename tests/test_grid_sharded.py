@@ -154,3 +154,50 @@ def test_sharded_dct_projection_matches_dense(n_dev):
             np.asarray(getattr(ref, f)), rtol=2e-4, atol=2e-5, err_msg=f)
     # exact solve: sharded residual at roundoff too
     assert float(res) < 1e-4
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4])
+def test_sharded_pallas_step_matches_dense(n_dev):
+    """The Pallas per-shard pipeline (deep-halo packed solver +
+    slab-placed forcing/div/gradsub/advect kernels) matches the dense
+    step — interpret mode on the CPU mesh; real-TPU numbers via
+    bench.py config 5."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 32
+    cfg = stam.StamConfig(n=n, dt=0.02, jacobi_iters=8, red_black=True,
+                          advect_mode="stencil", vorticity_eps=2.0,
+                          buoyancy_alpha=0.05, buoyancy_beta=1.0,
+                          visc=1e-4, diff=1e-4, temp_diff=1e-4,
+                          solver_backend="xla")
+    dense = seeded3d(cfg, seed=3)
+    dense = dense.replace(
+        u=stam.set_bnd3d(1, dense.u), v=stam.set_bnd3d(2, dense.v),
+        w=stam.set_bnd3d(3, dense.w), dens=stam.set_bnd3d(0, dense.dens),
+        temp=stam.set_bnd3d(0, dense.temp))
+
+    ref = dense
+    for _ in range(2):
+        ref = stam.step3d(ref, cfg)
+
+    mesh = make_mesh(n_dev)
+    step = grid_sharded.make_sharded_step(mesh, cfg, n_steps=2,
+                                          backend="pallas")
+    sh = grid_sharded.shard_state(grid_sharded.to_sharded_layout(dense),
+                                  mesh)
+    with pltpu.force_tpu_interpret_mode():
+        out, res = step(sh)
+    out_full = grid_sharded.from_sharded_layout(jax.device_get(out), cfg)
+
+    for f in ("u", "v", "w", "dens", "temp"):
+        a = np.asarray(getattr(out_full, f))
+        b = np.asarray(getattr(ref, f))
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5, err_msg=f)
+    assert np.isfinite(float(res))
+
+
+def test_sharded_pallas_rejects_unsupported():
+    mesh = make_mesh(2)
+    cfg = stam.StamConfig(n=16, jacobi_iters=8, red_black=False)
+    with pytest.raises(ValueError):
+        grid_sharded.make_sharded_step(mesh, cfg, backend="pallas")

@@ -69,6 +69,12 @@ def build_parser():
                                 " tolerance (tpufluids.grid.mac)")
         if name == "grid3d_sharded":
             p.add_argument("--devices", type=int, default=None)
+            p.add_argument("--backend", default="auto",
+                           choices=("auto", "xla", "pallas"),
+                           help="per-shard kernels: pallas needs "
+                                "red-black jacobi + stencil advection")
+            p.add_argument("--advect-mode", default="gather",
+                           choices=("gather", "stencil"))
     return ap
 
 
@@ -187,11 +193,13 @@ def run_grid(args):
         state_leaf = s.dens
     elif args.scene == "grid3d_sharded":
         from tpufluids.shard import grid_sharded, make_mesh
+        cfg = cfg.replace(advect_mode=args.advect_mode)
         mesh = make_mesh(args.devices)
         s = grid_sharded.shard_state(
             grid_sharded.to_sharded_layout(stam.make_grid3d(cfg)), mesh)
         step_fn = grid_sharded.make_sharded_step(mesh, cfg,
-                                                 n_steps=args.steps)
+                                                 n_steps=args.steps,
+                                                 backend=args.backend)
         s, res = step_fn(s)
         res = float(res)
         state_leaf = s.dens

@@ -299,6 +299,20 @@ def _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, *, slots=2,
     return max(1, min(tx_want, max_p - 2 * halo, n_full - 2 * halo))
 
 
+def _fit_tx_or_serial(tx_want, n_bufs, halo, n_full, yp, zp, *, budget):
+    """(tx, pipeline) for the generic streaming wrappers: the
+    double-buffered fit, falling back to the single-slot serial layout
+    (pipeline=False) when even the minimal pipelined window exceeds the
+    budget — very large y*z planes would otherwise compile a window
+    over the advisory budget and can hit the hard vmem_limit_bytes
+    (the same fallback advect3d_multi_pallas and rb_packed_plan make)."""
+    tx = _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, budget=budget)
+    if (tx + 2 * halo) * yp * zp * 4 * 2 * n_bufs <= budget:
+        return tx, True
+    return _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, slots=1,
+                   budget=budget), False
+
+
 def zg_extents(y_true, z_true, ymul=8):
     """(yp, zp) of the z-ghostless layout for a dense ghosted
     (x, y_true, z_true) array: y (ghosts kept) padded to a sublane
@@ -356,26 +370,58 @@ def _pad_setup(arrays, true_extents):
 # fused buoyancy + vorticity-confinement forcing
 
 
-def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
-                  vbuf, in_sems, out_sems, *, n_full, y_hi, z_hi, tx,
-                  dt, h, eps, b_alpha, b_beta, t_amb):
+def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
+                  vbuf, in_sems, out_sems, *, n_full, gn, slab, y_hi,
+                  z_hi, tx, dt, h, eps, b_alpha, b_beta, t_amb,
+                  pipeline=True):
+    """``gx0_ref``/``gn``/``slab``: global x placement for x-slab
+    arrays (see _advect_kernel).  On a slab (halo 2) the domain
+    x-ghost sits at absolute row 1 / n_full-2 (row 0 / n_full-1 are
+    out-of-domain filler), so the x-face refresh targets those rows,
+    gated on the slab actually touching the domain edge; the global
+    interior mask makes halo rows with interior global indices update
+    like their owner (deterministic replication) and zeroes the mag
+    ghost exactly where the dense kernel does."""
     def compute(refs, wlo):
         vu, vv, vw, vd, vt = refs
         shape = vu.shape
-        gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+        gi = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
+              + gx0_ref[0])
         jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-        interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+        interior = ((gi >= 1) & (gi <= gn - 2) & (jj >= 1)
                     & (jj <= y_hi - 1) & (kk <= z_hi))
         zedges = _lane_edges(shape, z_hi)
         p_ = shape[0]
-        is_first = wlo == 0
-        is_last = wlo == n_full - p_
+        if slab:
+            # slab ghost rows sit at absolute 1 / n_full-2; they ARE
+            # the domain ghosts iff their global index is 0 / gn-1.
+            # Refresh dynamically in whichever window contains them.
+            face_lo = gx0_ref[0] + 1 == 0
+            face_hi = gx0_ref[0] + n_full == gn + 1
+            rel_lo = jnp.clip(1 - wlo, 0, p_ - 2)
+            ap_lo = face_lo & (wlo <= 1)
+            rel_hi = jnp.clip(n_full - 2 - wlo, 1, p_ - 1)
+            ap_hi = face_hi & (wlo >= n_full - 1 - p_)
+            is_first = is_last = None
+        else:
+            is_first = (wlo == 0) & (gx0_ref[0] == 0)
+            is_last = (wlo == n_full - p_) & (gx0_ref[0] + n_full == gn)
 
         def bnd_ref(ref, b):
             sx, sy, _ = _bnd_scales(b)
-            _face_fix_ref(ref, is_first, is_last, p=p_, sx=sx, sy=sy,
-                          y_hi=y_hi)
+            if slab:
+                ref[pl.ds(rel_lo, 1)] = jnp.where(
+                    ap_lo, sx * ref[pl.ds(rel_lo + 1, 1)],
+                    ref[pl.ds(rel_lo, 1)])
+                ref[pl.ds(rel_hi, 1)] = jnp.where(
+                    ap_hi, sx * ref[pl.ds(rel_hi - 1, 1)],
+                    ref[pl.ds(rel_hi, 1)])
+                ref[:, 0:1, :] = sy * ref[:, 1:2, :]
+                ref[:, y_hi:y_hi + 1, :] = sy * ref[:, y_hi - 1:y_hi, :]
+            else:
+                _face_fix_ref(ref, is_first, is_last, p=p_, sx=sx,
+                              sy=sy, y_hi=y_hi)
 
         if b_alpha or b_beta:
             # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
@@ -420,37 +466,50 @@ def _force_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
 
     _stream_tiles((u_hbm, v_hbm, w_hbm, d_hbm, t_hbm),
                   ((0, uo), (1, vo), (2, wo)), vbuf, in_sems, out_sems,
-                  n_full=n_full, tx=tx, halo=2, compute=compute)
+                  n_full=n_full, tx=tx, halo=2, compute=compute,
+                  pipeline=pipeline)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "dt", "h", "eps", "b_alpha", "b_beta", "t_amb", "tx",
-    "true_extents"))
+    "true_extents", "gn"))
 def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
                      b_alpha: float, b_beta: float, t_amb: float,
-                     tx: int = 4, true_extents=None):
+                     tx: int = 4, true_extents=None, gx0=None, gn=None):
     """Fused buoyancy + vorticity confinement (stam.buoyancy3d followed
-    by stam.vorticity_confinement3d), one HBM pass."""
+    by stam.vorticity_confinement3d), one HBM pass.  ``gx0``/``gn``:
+    global x placement for x-slab arrays (see advect3d_multi_pallas)."""
     ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (u, v, w, dens, temp), true_extents)
-    tx = _fit_tx(tx, 5, 2, n_full, yp, zp, budget=50 * 1024 * 1024)
+    slab = gx0 is not None
+    if gn is None:
+        gn = n_full
+    gx0_arr = (jnp.zeros((1,), jnp.int32) if gx0 is None
+               else jnp.asarray(gx0, jnp.int32).reshape(1))
+    tx, pipeline = _fit_tx_or_serial(tx, 5, 2, n_full, yp, zp,
+                                     budget=50 * 1024 * 1024)
     p = tx + 4
     kern = functools.partial(
-        _force_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 3,
-        tx=tx, dt=dt, h=h, eps=eps, b_alpha=b_alpha, b_beta=b_beta,
-        t_amb=t_amb)
-    outs = pl.pallas_call(
-        kern,
+        _force_kernel, n_full=n_full, gn=gn, slab=slab, y_hi=y_true - 1,
+        z_hi=z_true - 3, tx=tx, dt=dt, h=h, eps=eps, b_alpha=b_alpha,
+        b_beta=b_beta, t_amb=t_amb, pipeline=pipeline)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(pl.cdiv(n_full, tx),),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
+        scratch_shapes=_stream_scratch(5, 3, p, ins[0].shape[1],
+                                       ins[0].shape[2],
+                                       slots=2 if pipeline else 1),
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct(ins[0].shape, jnp.float32)
                         for _ in range(3)),
-        scratch_shapes=_stream_scratch(5, 3, p, ins[0].shape[1],
-                                       ins[0].shape[2]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(*ins)
+    )(gx0_arr, *ins)
     if standalone:
         outs = tuple(zg_restore(o, b, y_true, z_true)
                      for o, b in zip(outs, (1, 2, 3)))
@@ -464,7 +523,7 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
 
 
 def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
-                n_full, y_hi, z_hi, tx, h):
+                n_full, y_hi, z_hi, tx, h, pipeline=True):
     p = tx + 2
 
     def compute(refs, wlo):
@@ -489,21 +548,27 @@ def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
 
     _stream_tiles((u_hbm, v_hbm, w_hbm), ((0, out_hbm),), vbuf,
                   in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
-                  compute=compute)
+                  compute=compute, pipeline=pipeline)
 
 
-@functools.partial(jax.jit, static_argnames=("tx", "true_extents"))
-def div3d_pallas(u, v, w, tx: int = 32, true_extents=None):
+@functools.partial(jax.jit, static_argnames=("tx", "true_extents", "h"))
+def div3d_pallas(u, v, w, tx: int = 32, true_extents=None, h=None):
     """Fused ``set_bnd3d(0, zeros.at[1:-1,...].set(divergence3d(u,v,w)))``
-    — one HBM pass instead of ~6 full-array copies."""
+    — one HBM pass instead of ~6 full-array copies.
+
+    ``h``: grid spacing override — the sharded path passes 1/n_global
+    because its arrays are x-slabs whose extent is not the global n
+    (tpufluids.shard.grid_sharded)."""
     ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (u, v, w), true_extents)
-    h = 1.0 / (n_full - 2)
-    tx = _fit_tx(tx, 3, 1, n_full, yp, zp,
-                 budget=70 * 1024 * 1024)
+    if h is None:
+        h = 1.0 / (n_full - 2)
+    tx, pipeline = _fit_tx_or_serial(tx, 3, 1, n_full, yp, zp,
+                                     budget=70 * 1024 * 1024)
     p = tx + 2
     kern = functools.partial(_div_kernel, n_full=n_full, y_hi=y_true - 1,
-                             z_hi=z_true - 3, tx=tx, h=h)
+                             z_hi=z_true - 3, tx=tx, h=h,
+                             pipeline=pipeline)
     out = pl.pallas_call(
         kern,
         grid=(pl.cdiv(n_full, tx),),
@@ -511,7 +576,8 @@ def div3d_pallas(u, v, w, tx: int = 32, true_extents=None):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(ins[0].shape, jnp.float32),
         scratch_shapes=_stream_scratch(3, 1, p, ins[0].shape[1],
-                                       ins[0].shape[2]),
+                                       ins[0].shape[2],
+                                       slots=2 if pipeline else 1),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
@@ -521,7 +587,8 @@ def div3d_pallas(u, v, w, tx: int = 32, true_extents=None):
 
 
 def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
-                    vbuf, in_sems, out_sems, *, n_full, y_hi, z_hi, tx, h):
+                    vbuf, in_sems, out_sems, *, n_full, y_hi, z_hi, tx, h,
+                    pipeline=True):
     p = tx + 2
 
     def compute(refs, wlo):
@@ -553,20 +620,26 @@ def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
 
     _stream_tiles((p_hbm, u_hbm, v_hbm, w_hbm),
                   ((1, uo), (2, vo), (3, wo)), vbuf, in_sems, out_sems,
-                  n_full=n_full, tx=tx, halo=1, compute=compute)
+                  n_full=n_full, tx=tx, halo=1, compute=compute,
+                  pipeline=pipeline)
 
 
-@functools.partial(jax.jit, static_argnames=("tx", "true_extents"))
-def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None):
+@functools.partial(jax.jit, static_argnames=("tx", "true_extents", "h"))
+def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None,
+                     h=None):
     """Fused pressure-gradient subtraction + per-component set_bnd
-    (the tail of stam.project3d), one HBM pass."""
+    (the tail of stam.project3d), one HBM pass.  ``h``: grid-spacing
+    override for x-slab arrays (see div3d_pallas)."""
     ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (p_arr, u, v, w), true_extents)
-    h = 1.0 / (n_full - 2)
-    tx = _fit_tx(tx, 4, 1, n_full, yp, zp, budget=60 * 1024 * 1024)
+    if h is None:
+        h = 1.0 / (n_full - 2)
+    tx, pipeline = _fit_tx_or_serial(tx, 4, 1, n_full, yp, zp,
+                                     budget=60 * 1024 * 1024)
     pw = tx + 2
     kern = functools.partial(_gradsub_kernel, n_full=n_full,
-                             y_hi=y_true - 1, z_hi=z_true - 3, tx=tx, h=h)
+                             y_hi=y_true - 1, z_hi=z_true - 3, tx=tx, h=h,
+                             pipeline=pipeline)
     outs = pl.pallas_call(
         kern,
         grid=(pl.cdiv(n_full, tx),),
@@ -575,7 +648,8 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None):
         out_shape=tuple(jax.ShapeDtypeStruct(ins[0].shape, jnp.float32)
                         for _ in range(3)),
         scratch_shapes=_stream_scratch(4, 3, pw, ins[0].shape[1],
-                                       ins[0].shape[2]),
+                                       ins[0].shape[2],
+                                       slots=2 if pipeline else 1),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
@@ -589,11 +663,17 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None):
 # fused multi-field 27-tap semi-Lagrangian advection
 
 
-def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
-                   dt0, bnds, pipeline, self_advect):
+def _advect_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, *rest, n_full, gn,
+                   y_hi, z_hi, tx, dt0, bnds, pipeline, self_advect):
     """rest = (field_hbm..., out_hbm..., vbuf, in_sems, out_sems).
     Advect k fields by (u,v,w) with one shared set of backtrace weights
     (the XLA path recomputes them per field).
+
+    ``gx0_ref``: scalar-prefetch (1,) i32 — the GLOBAL dense row index
+    of array row 0 (0 for the dense full cube; an x-slab under spatial
+    decomposition passes its offset so the backtrace clamp, interior
+    mask, and face fix see global coordinates).  ``gn`` is the global
+    x extent incl. ghosts.
 
     The 27-tap loop streams one output x-plane at a time: whole-window
     formulation keeps ~5 window-sized temporaries per field live and
@@ -633,8 +713,8 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
             return ref[pl.ds(j, 1)]
 
         def body(j, _):
-            gi = wlo + j
-            gif = jnp.float32(gi)
+            gi = wlo + j + gx0_ref[0]     # GLOBAL dense row index
+            gif = gi.astype(jnp.float32)
 
             def offs(vel, coord, extent):
                 o = jnp.clip(-dt0 * vel, -1.0, 1.0)
@@ -643,7 +723,7 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
                 # dense stencil advection
                 return jnp.clip(o, 0.5 - coord, extent - 1.5 - coord)
 
-            ox = offs(plane(vu, j), gif, jnp.float32(n_full))
+            ox = offs(plane(vu, j), gif, jnp.float32(gn))
             oy = offs(plane(vv, j), jjf, jnp.float32(y_hi + 1))
             oz = offs(plane(vw, j), kkf, jnp.float32(z_hi + 3))
             wxs = [hat(ox, d) for d in (-1, 0, 1)]
@@ -678,7 +758,7 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
                                    + wgt_0[szs[q]] * fxy[q]
                                    + wgt_p1 * _shift(fxy[q], 1, 2))
 
-            ok = yz_int & (gi >= 1) & (gi <= n_full - 2)
+            ok = yz_int & (gi >= 1) & (gi <= gn - 2)
             for q in range(k):
                 vo[q][pl.ds(j, 1)] = jnp.where(ok, outs[q], ctr[q])
             return 0
@@ -687,8 +767,10 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
         # the domain faces, where the face fix rewrites them below
         jax.lax.fori_loop(1, p - 1, body, 0, unroll=False)
 
-        is_first = wlo == 0
-        is_last = wlo == n_full - p
+        # global domain x-faces only (an interior x-slab's array edges
+        # are halo planes, discarded by the caller)
+        is_first = (wlo == 0) & (gx0_ref[0] == 0)
+        is_last = (wlo == n_full - p) & (gx0_ref[0] + n_full == gn)
         for q in range(k):
             # seed the never-computed edge planes from the input field
             # (their retained values are either face-fix overwritten or
@@ -708,10 +790,11 @@ def _advect_kernel(u_hbm, v_hbm, w_hbm, *rest, n_full, y_hi, z_hi, tx,
 
 @functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx",
                                              "self_advect", "pipeline",
-                                             "true_extents"))
+                                             "true_extents", "gn"))
 def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
                           tx: int = 8, self_advect: bool = False,
-                          pipeline: bool = None, true_extents=None):
+                          pipeline: bool = None, true_extents=None,
+                          gx0=None, gn=None):
     """Fused 27-tap stencil advection of ``fields`` (tuple) by (u,v,w).
 
     Equivalent to calling stam.advect3d_stencil per field, but the
@@ -723,6 +806,11 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     ``self_advect=True`` (STATIC; caller asserts fields == (u, v, w))
     skips the duplicate field windows — the uvw pass would otherwise
     DMA the same three arrays twice.
+
+    ``gx0``/``gn``: global x placement for x-slab arrays under spatial
+    decomposition — gx0 (traced i32 scalar) is the global dense row of
+    array row 0, gn (static) the global x extent incl. ghosts.  Dense
+    callers omit both (gx0=0, gn=n_full).
     """
     k = len(fields)
     assert len(bnds) == k
@@ -730,6 +818,10 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
         assert k == 3
     arrs, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (u, v, w) + (() if self_advect else tuple(fields)), true_extents)
+    if gn is None:
+        gn = n_full
+    gx0_arr = (jnp.zeros((1,), jnp.int32) if gx0 is None
+               else jnp.asarray(gx0, jnp.int32).reshape(1))
     u_, v_, w_ = arrs[:3]
     fs = arrs[3:]
     n_in = 3 + len(fs)
@@ -754,21 +846,25 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     grid = (pl.cdiv(n_full, tx),)
 
     kern = functools.partial(
-        _advect_kernel, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 3,
-        tx=tx, dt0=dt0, bnds=bnds, pipeline=pipeline,
+        _advect_kernel, n_full=n_full, gn=gn, y_hi=y_true - 1,
+        z_hi=z_true - 3, tx=tx, dt0=dt0, bnds=bnds, pipeline=pipeline,
         self_advect=self_advect)
-    outs = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * k),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct(u_.shape, jnp.float32) for _ in range(k)),
         scratch_shapes=_stream_scratch(n_bufs, k, p, yp, zp,
                                        slots=2 if pipeline else 1),
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(u_.shape, jnp.float32) for _ in range(k)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(u_, v_, w_, *fs)
+    )(gx0_arr, u_, v_, w_, *fs)
     if standalone:
         outs = tuple(zg_restore(o, b, y_true, z_true)
                      for o, b in zip(outs, bnds))
@@ -817,6 +913,37 @@ def _rb_face_fix(vA, vB, is_first, is_last, r0, *, p, sx, sy, y_hi):
     am, bm = vA[p - 2:p - 1], vB[p - 2:p - 1]
     vA[p - 1:p] = jnp.where(is_last, sx * bm, vA[p - 1:p])
     vB[p - 1:p] = jnp.where(is_last, sx * am, vB[p - 1:p])
+    _rb_face_fix_y(vA, vB, r0, sy=sy, y_hi=y_hi)
+
+
+def _rb_ghost_fix_x_dyn(vA, vB, rel, apply, sx):
+    """Refresh the packed x-ghost row at dynamic window-relative row
+    ``rel`` from the adjacent interior row rel+1 (phase offset flips),
+    gated by ``apply`` — the sharded solver's x-face fix, whose ghost
+    rows sit INSIDE the padded slab (absolute rows halo-1 / n_full-halo)
+    rather than at the array edge."""
+    a1 = vA[pl.ds(rel + 1, 1)]
+    b1 = vB[pl.ds(rel + 1, 1)]
+    ca = vA[pl.ds(rel, 1)]
+    cb = vB[pl.ds(rel, 1)]
+    vA[pl.ds(rel, 1)] = jnp.where(apply, sx * b1, ca)
+    vB[pl.ds(rel, 1)] = jnp.where(apply, sx * a1, cb)
+
+
+def _rb_ghost_fix_x_dyn_hi(vA, vB, rel, apply, sx):
+    """High-side twin of _rb_ghost_fix_x_dyn: ghost at ``rel`` copies
+    from the adjacent interior row rel-1."""
+    a1 = vA[pl.ds(rel - 1, 1)]
+    b1 = vB[pl.ds(rel - 1, 1)]
+    ca = vA[pl.ds(rel, 1)]
+    cb = vB[pl.ds(rel, 1)]
+    vA[pl.ds(rel, 1)] = jnp.where(apply, sx * b1, ca)
+    vB[pl.ds(rel, 1)] = jnp.where(apply, sx * a1, cb)
+
+
+def _rb_face_fix_y(vA, vB, r0, *, sy, y_hi):
+    """The y-face part of _rb_face_fix (shared with the sharded solver,
+    whose x faces are handled by _rb_ghost_fix_x_dyn)."""
     # y-lo face: j=0 lives in A where r==0 (else in B); source j=1 is
     # the other phase's slab 0
     r0y = r0[:, 0:1, :]
@@ -1153,3 +1280,265 @@ def lin_solve3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
 
     out = jax.lax.fori_loop(0, passes, body, x).astype(in_dtype)
     return zg_restore(out, b, y_true, z_true)
+
+
+# ---------------------------------------------------------------------------
+# sharded packed red-black solver: per-device x-slabs with a DEEP halo.
+#
+# The same wavefront property that lets the dense kernel fuse ``fuse``
+# iterations per HBM pass (window halo = 2*fuse planes covers the light
+# cone) works ACROSS devices: pad each slab with 2*fuse neighbor planes
+# per side, run 2*fuse half-sweeps locally, keep the interior — the
+# result is bit-identical to the dense solver, with ONE halo exchange
+# per ``fuse`` iterations instead of one per sweep (the reference
+# exchanges host-staged buffers every step, solver-unidyn.cu:396-470;
+# the XLA sharded fallback ppermutes every half-sweep).
+#
+# Domain x-faces no longer sit at the array edge: for the first/last
+# device the set_bnd ghost lives at absolute padded row halo-1 /
+# n_full-halo (outer rows are junk filler walled off by the per-sweep
+# ghost refresh), so the x-face fix targets those rows dynamically,
+# gated on scalar-prefetch flags (axis_index of the shard).
+
+
+def _rb_sweeps_shard(vA, vB, vA0, vB0, wlo, face_lo, face_hi, *, a,
+                     c_inv, sx, sy, sz, n_full, y_hi, z_hi, p, halo,
+                     n_sweeps, poff):
+    r0w = _rb_r_mask(vA.shape, wlo + poff)
+    zedges = _lane_edges(vA.shape, z_hi)
+    # ghost rows (absolute halo-1 / n_full-halo) in window coordinates;
+    # clamped — the ``apply`` gates keep out-of-window rows untouched
+    rel_lo = jnp.clip(halo - 1 - wlo, 0, p - 2)
+    rel_hi = jnp.clip(n_full - halo - wlo, 1, p - 1)
+    apply_lo = face_lo & (wlo <= halo - 1)
+    apply_hi = face_hi & (wlo >= n_full - halo - p + 1)
+    a0v = vA0[...]
+    b0v = vB0[...]
+    for sw in range(n_sweeps):
+        if sw % 2 == 0:
+            _rb_half_sweep(vA, vB, a0v, r0w, zedges, a=a, c_inv=c_inv,
+                           sz=sz)
+        else:
+            _rb_half_sweep(vB, vA, b0v, ~r0w, zedges, a=a, c_inv=c_inv,
+                           sz=sz)
+        _rb_ghost_fix_x_dyn(vA, vB, rel_lo, apply_lo, sx)
+        _rb_ghost_fix_x_dyn_hi(vA, vB, rel_hi, apply_hi, sx)
+        _rb_face_fix_y(vA, vB, r0w, sy=sy, y_hi=y_hi)
+
+
+def _solve_rb_shard_kernel(face_ref, xA_hbm, xB_hbm, a0_hbm, b0_hbm,
+                           oA_hbm, oB_hbm, vA, vB, vA0, vB0, sems, *,
+                           a, c_inv, sx, sy, sz, n_full, y_hi, z_hi,
+                           tx, halo, n_sweeps, poff):
+    t = pl.program_id(0)
+    p = tx + 2 * halo
+    lo = jnp.minimum(t * tx, n_full - tx)
+    wlo = jnp.clip(lo - halo, 0, n_full - p)
+    face_lo = face_ref[0] != 0
+    face_hi = face_ref[1] != 0
+
+    cps = []
+    for i, (src, dstv) in enumerate(((xA_hbm, vA), (xB_hbm, vB),
+                                     (a0_hbm, vA0), (b0_hbm, vB0))):
+        cp = pltpu.make_async_copy(src.at[pl.ds(wlo, p)], dstv,
+                                   sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    _rb_sweeps_shard(vA, vB, vA0, vB0, wlo, face_lo, face_hi, a=a,
+                     c_inv=c_inv, sx=sx, sy=sy, sz=sz, n_full=n_full,
+                     y_hi=y_hi, z_hi=z_hi, p=p, halo=halo,
+                     n_sweeps=n_sweeps, poff=poff)
+
+    wcps = []
+    for i, (ref, out) in enumerate(((vA, oA_hbm), (vB, oB_hbm))):
+        cp = pltpu.make_async_copy(ref.at[pl.ds(lo - wlo, tx)],
+                                   out.at[pl.ds(lo, tx)], sems.at[i])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
+def _solve_rb_shard_pipe_kernel(face_ref, xA_hbm, xB_hbm, a0_hbm,
+                                b0_hbm, oA_hbm, oB_hbm, vbuf, in_sems,
+                                out_sems, *, a, c_inv, sx, sy, sz,
+                                n_full, y_hi, z_hi, tx, halo, n_sweeps,
+                                poff):
+    p = tx + 2 * halo
+    face_lo = face_ref[0] != 0
+    face_hi = face_ref[1] != 0
+
+    def compute(refs, wlo):
+        vA, vB, vA0, vB0 = refs
+        _rb_sweeps_shard(vA, vB, vA0, vB0, wlo, face_lo, face_hi, a=a,
+                         c_inv=c_inv, sx=sx, sy=sy, sz=sz,
+                         n_full=n_full, y_hi=y_hi, z_hi=z_hi, p=p,
+                         halo=halo, n_sweeps=n_sweeps, poff=poff)
+
+    _stream_tiles((xA_hbm, xB_hbm, a0_hbm, b0_hbm),
+                  ((0, oA_hbm), (1, oB_hbm)), vbuf, in_sems, out_sems,
+                  n_full=n_full, tx=tx, halo=halo, compute=compute)
+
+
+def rb_shard_plan(c_local, y_true, z_true, iters):
+    """(tx, fuse, pipeline) for the sharded packed solver on a slab of
+    ``c_local`` x rows (mirror of rb_packed_plan; the padded extent is
+    c_local + 4*fuse)."""
+    yp, zp = zg_extents(y_true, z_true)
+    yhp = -(-(yp // 2) // 8) * 8
+    for fuse in (4, 2, 1):
+        if iters % fuse:
+            continue
+        halo = 2 * fuse
+        if c_local + 2 * halo < 8 + 2 * halo:
+            continue
+        tx = _fit_tx(24, 4, halo, c_local + 2 * halo, yhp, zp,
+                     budget=70 * 1024 * 1024)
+        if tx >= 8:
+            return tx, fuse, True
+    for fuse in (2, 1):
+        if iters % fuse:
+            continue
+        halo = 2 * fuse
+        tx = _fit_tx(24, 4, halo, c_local + 2 * halo, yhp, zp, slots=1,
+                     budget=70 * 1024 * 1024)
+        if tx >= 1:
+            return tx, fuse, False
+    raise AssertionError("unreachable: fuse=1 always divides iters")
+
+
+def lin_solve3d_rb_shard(bb: int, x, x0, a: float, c: float, iters: int,
+                         *, axis_name, n_dev: int, y_true: int,
+                         z_true: int, tx: int, fuse: int,
+                         pipeline: bool, x_zero: bool = False):
+    """Sharded red-black solve on z-ghostless x-slabs — call INSIDE
+    shard_map.  ``x``/``x0``: (c_local, yp, zp) slabs whose rows are
+    ALL globally interior (no x ghosts stored; ghosts materialize in
+    the deep halo pad each pass).  Bit-compatible with the dense
+    lin_solve3d_rb_packed / stam.lin_solve3d(red_black=True).
+
+    c_local must be even (the packed checkerboard parity is then
+    uniform across shards: global row of slab row 0 is odd)."""
+    c_local = x0.shape[0]
+    yp, zp = x0.shape[1], x0.shape[2]
+    if c_local % 2:
+        raise ValueError(f"c_local={c_local} must be even")
+    sx, sy, sz = _bnd_scales(bb)
+    idx = jax.lax.axis_index(axis_name) if n_dev > 1 else 0
+    face_arr = jnp.array(
+        [1, 1], jnp.int32) if n_dev == 1 else jnp.stack(
+        [(idx == 0).astype(jnp.int32),
+         (idx == n_dev - 1).astype(jnp.int32)])
+
+    # pack to phase arrays with GLOBAL parity: slab row 0 is global
+    # dense row idx*c+1, odd for even c -> static offset 1
+    poff = 1
+    ii = jnp.arange(c_local, dtype=jnp.int32)[:, None, None] + poff
+    kz = jnp.arange(zp, dtype=jnp.int32)[None, None, :]
+    r0 = ((ii + kz) % 2) == 0
+    yh = yp // 2
+    yhp = -(-yh // 8) * 8
+
+    def even_odd(q):
+        e = jax.lax.slice(q, (0, 0, 0), (c_local, yp - 1, zp), (1, 2, 1))
+        o = jax.lax.slice(q, (0, 1, 0), (c_local, yp, zp), (1, 2, 1))
+        return e, o
+
+    if x_zero:
+        A = B = jnp.zeros((c_local, yh, zp), jnp.float32)
+    else:
+        xe, xo = even_odd(x)
+        A = jnp.where(r0, xe, xo)
+        B = jnp.where(r0, xo, xe)
+    x0e, x0o = even_odd(x0)
+    A0 = jnp.where(r0, x0e, x0o)
+    B0 = jnp.where(r0, x0o, x0e)
+    if yhp != yh:
+        padr = ((0, 0), (0, yhp - yh), (0, 0))
+        A, B, A0, B0 = (jnp.pad(q, padr) for q in (A, B, A0, B0))
+
+    fuse = max(1, min(fuse, iters))
+    if iters % fuse:
+        raise ValueError(f"iters={iters} must be a multiple of fuse")
+    passes = iters // fuse
+    n_sweeps = 2 * fuse
+    halo = n_sweeps
+    n_full = c_local + 2 * halo
+    p = tx + 2 * halo
+    if p > n_full:
+        raise ValueError(f"window {p} exceeds padded extent {n_full}")
+
+    def pad_pair(qA, qB):
+        """Deep-halo pad: neighbor planes over ICI; at domain edges the
+        set_bnd ghost row (pad row halo-1 low / 0 high) seeds from the
+        adjacent interior (phase flip), other pad rows are junk that
+        the kernel's per-sweep ghost refresh walls off."""
+        if n_dev > 1:
+            right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+            lA = jax.lax.ppermute(qA[-halo:], axis_name, right)
+            lB = jax.lax.ppermute(qB[-halo:], axis_name, right)
+            hA = jax.lax.ppermute(qA[:halo], axis_name, left)
+            hB = jax.lax.ppermute(qB[:halo], axis_name, left)
+        else:
+            lA = jnp.zeros_like(qA[-halo:])
+            lB = jnp.zeros_like(qB[-halo:])
+            hA = jnp.zeros_like(qA[:halo])
+            hB = jnp.zeros_like(qB[:halo])
+        gl = (jnp.arange(halo) == halo - 1)[:, None, None]
+        seed_loA = jnp.where(gl, sx * qB[0:1], 0.0)
+        seed_loB = jnp.where(gl, sx * qA[0:1], 0.0)
+        gh = (jnp.arange(halo) == 0)[:, None, None]
+        seed_hiA = jnp.where(gh, sx * qB[-1:], 0.0)
+        seed_hiB = jnp.where(gh, sx * qA[-1:], 0.0)
+        edge_lo = face_arr[0] != 0
+        edge_hi = face_arr[1] != 0
+        lA = jnp.where(edge_lo, seed_loA, lA)
+        lB = jnp.where(edge_lo, seed_loB, lB)
+        hA = jnp.where(edge_hi, seed_hiA, hA)
+        hB = jnp.where(edge_hi, seed_hiB, hB)
+        return (jnp.concatenate([lA, qA, hA], axis=0),
+                jnp.concatenate([lB, qB, hB], axis=0))
+
+    kw = dict(a=a, c_inv=1.0 / c, sx=sx, sy=sy, sz=sz, n_full=n_full,
+              y_hi=y_true - 1, z_hi=z_true - 3, tx=tx, halo=halo,
+              n_sweeps=n_sweeps, poff=poff)
+    if pipeline:
+        kern = functools.partial(_solve_rb_shard_pipe_kernel, **kw)
+        scratch = _stream_scratch(4, 2, p, A.shape[1], A.shape[2])
+    else:
+        kern = functools.partial(_solve_rb_shard_kernel, **kw)
+        scratch = [pltpu.VMEM((p, A.shape[1], A.shape[2]), jnp.float32)
+                   for _ in range(4)] + [pltpu.SemaphoreType.DMA((4,))]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(n_full, tx),),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 2),
+        scratch_shapes=scratch,
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(
+            (n_full,) + A.shape[1:], jnp.float32) for _ in range(2)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    # x0 is pass-invariant: one exchange total (the swept ghost rows'
+    # x0 values never matter — the ghost refresh overwrites them)
+    A0p, B0p = pad_pair(A0, B0)
+    for _ in range(passes):
+        Ap, Bp = pad_pair(A, B)
+        Ao, Bo = call(face_arr, Ap, Bp, A0p, B0p)
+        A, B = Ao[halo:halo + c_local], Bo[halo:halo + c_local]
+
+    if yhp != yh:
+        A, B = A[:, :yh, :], B[:, :yh, :]
+    out = jnp.stack([jnp.where(r0, A, B), jnp.where(r0, B, A)],
+                    axis=2).reshape(c_local, yp, zp)
+    return out

@@ -330,12 +330,141 @@ def _step_local(u, v, w, dens, temp, cfg: StamConfig, n: int, n_dev: int):
     return u, v, w, dens, temp, res
 
 
-def make_sharded_step(mesh: Mesh, cfg: StamConfig, n_steps: int = 1):
+# ---------------------------------------------------------------------------
+# Pallas per-shard step: the dense z-ghostless kernel pipeline
+# (grid/pallas_kernels.py) run slab-locally between ICI halo exchanges.
+# Numerics match the dense stam.step3d pallas path (tests assert
+# allclose); the deep-halo packed solver exchanges once per ``fuse``
+# iterations instead of once per sweep.
+
+
+def _halo_zg(a, sx, n_dev, h):
+    """Pad a z-ghostless slab (c, yp, zp) with ``h`` x-planes per side:
+    neighbor planes over ICI; at domain edges the set_bnd ghost
+    sx * edge-plane sits at pad row h-1 (low) / 0 (high), any remaining
+    pad rows are zero junk that the kernels' global interior masks and
+    face gates wall off."""
+    idx = jax.lax.axis_index(AXIS) if n_dev > 1 else 0
+    if n_dev > 1:
+        right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        from_left = jax.lax.ppermute(a[-h:], AXIS, right)
+        from_right = jax.lax.ppermute(a[:h], AXIS, left)
+    else:
+        from_left = jnp.zeros_like(a[-h:])
+        from_right = jnp.zeros_like(a[:h])
+    gl = (jnp.arange(h) == h - 1)[:, None, None]
+    gh = (jnp.arange(h) == 0)[:, None, None]
+    lo = jnp.where(idx == 0, jnp.where(gl, sx * a[0:1], 0.0), from_left)
+    hi = jnp.where(idx == n_dev - 1, jnp.where(gh, sx * a[-1:], 0.0),
+                   from_right)
+    return jnp.concatenate([lo, a, hi], axis=0)
+
+
+def _sx(b):
+    return -1.0 if b == 1 else 1.0
+
+
+def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
+                       n_dev: int, te, plan):
+    """One slab-local step on z-ghostless (c, yp, zp) fields using the
+    dense Pallas kernels with global-coordinate placement (gx0/gn)."""
+    from tpufluids.grid.pallas_kernels import (advect3d_multi_pallas,
+                                               div3d_pallas,
+                                               forcing3d_pallas,
+                                               gradsub3d_pallas,
+                                               lin_solve3d_rb_shard,
+                                               zg_restore)
+
+    y_true, z_true = te
+    c = u.shape[0]
+    idx = jax.lax.axis_index(AXIS) if n_dev > 1 else 0
+    gn = n + 2
+    h = 1.0 / n
+    tx, fuse, pipeline = plan
+
+    def pad(q, b, depth=1):
+        return _halo_zg(q, _sx(b), n_dev, depth)
+
+    def solve(b, x, x0, a_, c_, x_zero=False):
+        return lin_solve3d_rb_shard(
+            b, x, x0, float(a_), float(c_), cfg.jacobi_iters,
+            axis_name=AXIS, n_dev=n_dev, y_true=y_true, z_true=z_true,
+            tx=tx, fuse=fuse, pipeline=pipeline, x_zero=x_zero)
+
+    if cfg.buoyancy_alpha or cfg.buoyancy_beta or cfg.vorticity_eps:
+        uo, vo, wo = forcing3d_pallas(
+            pad(u, 1, 2), pad(v, 2, 2), pad(w, 3, 2), pad(dens, 0, 2),
+            pad(temp, 0, 2), float(cfg.dt), h, float(cfg.vorticity_eps),
+            float(cfg.buoyancy_alpha), float(cfg.buoyancy_beta),
+            float(cfg.ambient_temp), tx=16, true_extents=te,
+            gx0=idx * c - 1, gn=gn)
+        u, v, w = uo[2:-2], vo[2:-2], wo[2:-2]
+    if cfg.visc:
+        a_ = cfg.dt * cfg.visc * n * n
+        u = solve(1, u, u, a_, 1 + 6 * a_)
+        v = solve(2, v, v, a_, 1 + 6 * a_)
+        w = solve(3, w, w, a_, 1 + 6 * a_)
+
+    def project(u, v, w, with_residual=False):
+        up, vp, wp = pad(u, 1), pad(v, 2), pad(w, 3)
+        div = div3d_pallas(up, vp, wp, true_extents=te, h=h)[1:-1]
+        p_ = solve(0, div, div, 1.0, 6.0, x_zero=True)
+        pp = pad(p_, 0)
+        uo, vo, wo = gradsub3d_pallas(pp, up, vp, wp, true_extents=te,
+                                      h=h)
+        u, v, w = uo[1:-1], vo[1:-1], wo[1:-1]
+        if not with_residual:
+            return u, v, w, jnp.float32(0)
+        pd = zg_restore(p_, 0, y_true, z_true)
+        ppd = zg_restore(pp, 0, y_true, z_true)
+        dd = zg_restore(div, 0, y_true, z_true)
+        nb = (ppd[:-2, 1:-1, 1:-1] + ppd[2:, 1:-1, 1:-1]
+              + pd[:, :-2, 1:-1] + pd[:, 2:, 1:-1]
+              + pd[:, 1:-1, :-2] + pd[:, 1:-1, 2:])
+        res = jnp.max(jnp.abs(dd[:, 1:-1, 1:-1] + nb
+                              - 6.0 * pd[:, 1:-1, 1:-1]))
+        return u, v, w, jax.lax.pmax(res, AXIS) if n_dev > 1 else res
+
+    u, v, w, _ = project(u, v, w)
+    u0p, v0p, w0p = pad(u, 1), pad(v, 2), pad(w, 3)
+    uo, vo, wo = advect3d_multi_pallas(
+        (u0p, v0p, w0p), (1, 2, 3), u0p, v0p, w0p, float(cfg.dt * n),
+        self_advect=True, true_extents=te, gx0=idx * c, gn=gn)
+    u, v, w = uo[1:-1], vo[1:-1], wo[1:-1]
+    u, v, w, res = project(u, v, w, with_residual=True)
+
+    if cfg.diff:
+        a_ = cfg.dt * cfg.diff * n * n
+        dens = solve(0, dens, dens, a_, 1 + 6 * a_)
+    if cfg.temp_diff:
+        a_ = cfg.dt * cfg.temp_diff * n * n
+        temp = solve(0, temp, temp, a_, 1 + 6 * a_)
+    up, vp, wp = pad(u, 1), pad(v, 2), pad(w, 3)
+    do_, to_ = advect3d_multi_pallas(
+        (pad(dens, 0), pad(temp, 0)), (0, 0), up, vp, wp,
+        float(cfg.dt * n), true_extents=te, gx0=idx * c, gn=gn)
+    dens, temp = do_[1:-1], to_[1:-1]
+    return u, v, w, dens, temp, res
+
+
+def _pallas_sharded_supported(cfg: StamConfig) -> bool:
+    return (cfg.projection == "jacobi" and cfg.red_black
+            and cfg.advect_mode == "stencil"
+            and cfg.solver_dtype != "bfloat16"
+            and cfg.n + 2 >= 16)
+
+
+def make_sharded_step(mesh: Mesh, cfg: StamConfig, n_steps: int = 1,
+                      backend: str = "auto"):
     """Build a jitted sharded scan of ``n_steps`` 3D steps.
 
     Takes/returns GridState3D in sharded layout ((n, n+2, n+2) fields,
     sharded along x).  Also returns the last step's Poisson residual.
-    """
+
+    ``backend``: "auto" (pallas per-shard kernels on TPU when the
+    config supports them — red-black jacobi projection + stencil
+    advection — else the XLA slab step), "pallas", or "xla"."""
     n_dev = mesh.devices.size
     n = cfg.n
     if n % n_dev:
@@ -346,19 +475,58 @@ def make_sharded_step(mesh: Mesh, cfg: StamConfig, n_steps: int = 1):
         raise ValueError(
             f"sharded step supports projection in ('jacobi', 'dct'), "
             f"got {cfg.projection!r}")
+    if backend == "pallas" and not _pallas_sharded_supported(cfg):
+        raise ValueError(
+            "backend='pallas' needs projection='jacobi', red_black, "
+            "advect_mode='stencil', float32 solver, n+2 >= 16")
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto"
+                      and _pallas_sharded_supported(cfg)
+                      and jax.default_backend() == "tpu"))
+    c_local = n // n_dev
+    if use_pallas and c_local % 2:
+        use_pallas = False   # packed parity needs even slabs
     spec = P(AXIS, None, None)
 
+    plan = None
+    te = None
+    if use_pallas:
+        from tpufluids.grid.pallas_kernels import (rb_shard_plan,
+                                                   zg_extents, zg_pad,
+                                                   zg_restore)
+        te = (n + 2, n + 2)
+        yp, zp = zg_extents(n + 2, n + 2)
+        plan = rb_shard_plan(c_local, n + 2, n + 2, cfg.jacobi_iters)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the shard_map vma checker rejects
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(spec,) * 5, out_specs=((spec,) * 5, P()))
+             in_specs=(spec,) * 5, out_specs=((spec,) * 5, P()),
+             check_vma=False)
     def run_local(u, v, w, dens, temp):
+        if use_pallas:
+            u, v, w = (zg_pad(u, yp, zp), zg_pad(v, yp, zp),
+                       zg_pad(w, yp, zp))
+            dens, temp = zg_pad(dens, yp, zp), zg_pad(temp, yp, zp)
+
         def body(carry, _):
             u, v, w, dens, temp = carry
-            u, v, w, dens, temp, res = _step_local(u, v, w, dens, temp,
-                                                   cfg, n, n_dev)
+            if use_pallas:
+                u, v, w, dens, temp, res = _step_local_pallas(
+                    u, v, w, dens, temp, cfg, n, n_dev, te, plan)
+            else:
+                u, v, w, dens, temp, res = _step_local(
+                    u, v, w, dens, temp, cfg, n, n_dev)
             return (u, v, w, dens, temp), res
 
         (u, v, w, dens, temp), res = jax.lax.scan(
             body, (u, v, w, dens, temp), None, length=n_steps)
+        if use_pallas:
+            u = zg_restore(u, 1, n + 2, n + 2)
+            v = zg_restore(v, 2, n + 2, n + 2)
+            w = zg_restore(w, 3, n + 2, n + 2)
+            dens = zg_restore(dens, 0, n + 2, n + 2)
+            temp = zg_restore(temp, 0, n + 2, n + 2)
         return (u, v, w, dens, temp), res[-1]
 
     @jax.jit
