@@ -162,6 +162,55 @@ def sort_by_cell(state: ParticleState, cfg: SPHConfig,
     return state, bt
 
 
+def sort_tables(state: ParticleState, cfg: SPHConfig,
+                grid: Optional[GridSpec] = None):
+    """Sorted-order binning tables WITHOUT permuting the pool.
+
+    The Pallas force path gathers its packed kernel input directly by
+    ``order`` (one row gather) and maps results straight back to the
+    unpermuted pool — skipping the 33-column ``permute_pool`` gather
+    and the post-permute cell-id recompute of ``sort_by_cell``.  The
+    reference's thrust sort (solver.cu:181) reorders storage; only the
+    sorted ADJACENCY is semantically needed.  Returns (order, BinTable)
+    with every BinTable field in sorted order (run tables empty — this
+    path serves the Pallas backend only)."""
+    grid = grid or full_grid(cfg)
+    g = grid.g
+    num_cells = grid.num_cells
+    cid, _ = cell_id(state.pos, state.alive, cfg, grid)
+    n = cid.shape[0]
+    if (num_cells + 1) * n <= 2 ** 31 - 1:
+        # one packed-key sort yields BOTH the order and the sorted ids
+        key = cid * n + jnp.arange(n, dtype=jnp.int32)
+        skey = jnp.sort(key)
+        order = skey % n
+        scid = skey // n
+    else:
+        order = jnp.argsort(cid, stable=True)
+        scid = cid[order]
+
+    # histogram + cumsum over the UNSORTED ids (order-independent)
+    counts = jnp.zeros(num_cells + 1, jnp.int32).at[cid].add(
+        jnp.ones_like(cid, jnp.int32))
+    cell_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
+
+    in_dom = scid < num_cells
+    cc = jnp.clip(scid, 0, num_cells)
+    home_count = jnp.where(in_dom, cell_start[cc + 1] - cell_start[cc], 0)
+    # per-axis coords decoded from the sorted id (valid where in-dom)
+    cz = cc % g
+    cy = (cc // g) % g
+    cx = cc // (g * g)
+    z1 = jnp.zeros((n, 9), jnp.int32)
+    bt = BinTable(
+        order=order, cid=scid, cx=cx, cy=cy, cz=cz, in_dom=in_dom,
+        cell_start=cell_start, run_start=z1, run_len=z1,
+        home_count=home_count, octant=octant(state.pos, cfg)[order],
+        overflow=jnp.zeros((), jnp.int32))
+    return order, bt
+
+
 def build_bins(state: ParticleState, cfg: SPHConfig, order=None,
                grid: Optional[GridSpec] = None,
                runs: bool = True) -> BinTable:

@@ -201,25 +201,70 @@ def _grid_extents(cfg: SPHConfig, grid):
     return grid.x_planes, grid.g
 
 
+def _pack_base_by_order(state: ParticleState, order, bt, b: int):
+    """Build the base packed kernel input directly from the UNSORTED
+    pool with one row gather by ``order`` (binning.sort_tables mode):
+    replaces permute_pool's 33-column gather + the field-by-field
+    packing writes."""
+    f32 = jnp.float32
+    n = state.capacity
+    cols = jnp.concatenate([
+        state.pos, state.vel, state.dens[:, None], state.press[:, None],
+        state.boundary.astype(f32)[:, None],
+        state.alive.astype(f32)[:, None]], axis=1)          # (n, 10)
+    rows = cols[order]
+    alive = rows[:, 9:10] * bt.in_dom.astype(f32)[:, None]
+    rows = jnp.concatenate([rows[:, :9], alive], axis=1)
+    return jnp.pad(rows, ((0, b), (0, F - 10)))
+
+
+def _pack_unidyn_by_order(state: ParticleState, order, bt, b: int):
+    """Unidyn twin of _pack_base_by_order (layout of _pack_unidyn plus
+    the sorted-order home_count/octant columns)."""
+    f32 = jnp.float32
+    s = state
+    n = s.capacity
+    cols = jnp.concatenate([
+        s.pos, s.vel, s.dens[:, None], s.press[:, None],
+        s.boundary.astype(f32)[:, None], s.alive.astype(f32)[:, None],
+        s.mass[:, None], s.solid[:, None], s.fluid[:, None],
+        s.delpress, s.stress.reshape(n, 9)], axis=1)        # (n, 25)
+    rows = cols[order]
+    alive = rows[:, 9:10] * bt.in_dom.astype(f32)[:, None]
+    rows = jnp.concatenate([
+        rows[:, :9], alive, rows[:, 10:25],
+        jnp.zeros((n, 6), f32),                 # _SDV/_FDV slots
+        bt.home_count.astype(f32)[:, None],
+        bt.octant.astype(f32)[:, None]], axis=1)            # (n, 33)
+    return jnp.pad(rows, ((0, b), (0, F - 33)))
+
+
 def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
                        cfg: SPHConfig, b: int = 128, w_cap: int = 128,
-                       grid=None):
+                       grid=None, order=None):
     """Compute (sum_w, dpress, overflow) for the base variant with the
     column-window Pallas kernel.  ``sorted_state`` must be cell-sorted
     with the same ``grid`` (binning.GridSpec; None = full cube — a
-    sharded x-slab passes its local GridSpec, tpufluids.shard.particles)."""
+    sharded x-slab passes its local GridSpec, tpufluids.shard.particles).
+
+    With ``order`` given (binning.sort_tables mode), the state is the
+    UNSORTED pool: the packed input is gathered by ``order`` and the
+    results come back in pool order."""
     gx, gy = _grid_extents(cfg, grid)
     n = sorted_state.capacity
 
-    packed = jnp.zeros((n + b, F), jnp.float32)
-    packed = packed.at[:n, _X:_X + 3].set(sorted_state.pos)
-    packed = packed.at[:n, _V:_V + 3].set(sorted_state.vel)
-    packed = packed.at[:n, _DENS].set(sorted_state.dens)
-    packed = packed.at[:n, _PRESS].set(sorted_state.press)
-    packed = packed.at[:n, _BND].set(
-        sorted_state.boundary.astype(jnp.float32))
-    packed = packed.at[:n, _ALIVE].set(
-        (sorted_state.alive & bt.in_dom).astype(jnp.float32))
+    if order is not None:
+        packed = _pack_base_by_order(sorted_state, order, bt, b)
+    else:
+        packed = jnp.zeros((n + b, F), jnp.float32)
+        packed = packed.at[:n, _X:_X + 3].set(sorted_state.pos)
+        packed = packed.at[:n, _V:_V + 3].set(sorted_state.vel)
+        packed = packed.at[:n, _DENS].set(sorted_state.dens)
+        packed = packed.at[:n, _PRESS].set(sorted_state.press)
+        packed = packed.at[:n, _BND].set(
+            sorted_state.boundary.astype(jnp.float32))
+        packed = packed.at[:n, _ALIVE].set(
+            (sorted_state.alive & bt.in_dom).astype(jnp.float32))
 
     # col_start[c] = first sorted row of column c (gy consecutive cells)
     col_start = bt.cell_start[0:gx * gy * gy + 1:gy]      # (gx*gy + 1,)
@@ -248,7 +293,8 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(col_start.astype(jnp.int32), packed)
 
-    res = _tile_to_particle(out, bt, col_start, n, gx, gy, b)
+    res = _tile_to_particle(out, bt, col_start, n, gx, gy, b,
+                            order=order)
     return res[:, 0], res[:, 1:4], overflow
 
 
@@ -594,23 +640,31 @@ def _run_column_kernel(kern_fn, col_start, packed, gx, gy, b, w_cap, cfg,
     )(col_start.astype(jnp.int32), packed)
 
 
-def _tile_to_particle(out, bt, col_start, n, gx, gy, b):
-    """Map (gx*gy*b, F) tile rows back to sorted-particle order with ONE
-    row gather (per-index cost, independent of row width — the same
-    trick as forces.pair_geometry's packed gather)."""
+def _tile_to_particle(out, bt, col_start, n, gx, gy, b, order=None):
+    """Map (gx*gy*b, F) tile rows back to particle order with ONE row
+    gather (per-index cost, independent of row width — the same trick
+    as forces.pair_geometry's packed gather).  With ``order`` given
+    (sort_tables mode) the result lands in the UNSORTED pool order."""
     num_cells = gx * gy * gy
     cid = jnp.clip(bt.cid, 0, num_cells)
     col_of = jnp.minimum(cid // gy, gx * gy - 1)
     rank = jnp.arange(n, dtype=jnp.int32) - col_start[col_of]
     valid = (bt.cid < num_cells) & (rank >= 0) & (rank < b)
     rows = jnp.where(valid, col_of * b + jnp.clip(rank, 0, b - 1), 0)
+    if order is not None:
+        # original row order[r] holds sorted rank r: compose the tile
+        # lookup with the inverse permutation (small int gathers)
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        rows = rows[inv]
+        valid = valid[inv]
     return jnp.where(valid[:, None], out[rows], 0.0)          # (n, F)
 
 
 def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
                          cfg: SPHConfig, b: int = 128, w_cap: int = 128,
                          grid=None, drift_fix=None,
-                         subbin_threshold=None):
+                         subbin_threshold=None, order=None):
     """Full unidyn pair accumulation with the column-window kernels.
 
     NOT itself jitted: callers run it inside their own jit (step.sph_step,
@@ -634,24 +688,33 @@ def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     col_count = col_start[1:] - col_start[:-1]
     overflow = jnp.sum(jnp.maximum(col_count - b, 0))
 
-    packed = _pack_unidyn(sorted_state, bt, b)
+    if order is not None:
+        packed = _pack_unidyn_by_order(sorted_state, order, bt, b)
+    else:
+        packed = _pack_unidyn(sorted_state, bt, b)
     out_a = _run_column_kernel(_unidyn_kernel_a, col_start, packed,
                                gx, gy, b, w_cap, cfg,
                                subbin_threshold=subbin_threshold)
-    res_a = _tile_to_particle(out_a, bt, col_start, n, gx, gy, b)
+    res_a = _tile_to_particle(out_a, bt, col_start, n, gx, gy, b,
+                              order=order)
     sdv = res_a[:, _A_SDV:_A_SDV + 3]
     fdv = res_a[:, _A_FDV:_A_FDV + 3]
     if drift_fix is not None:
         sdv, fdv = drift_fix(sdv, fdv)
 
     # pass B reuses pass A's packed buffer with the drift-velocity
-    # columns spliced in (a full repack costs ~1.2 ms at 14k particles)
-    packed_b = packed.at[:n, _SDV:_SDV + 3].set(sdv)
-    packed_b = packed_b.at[:n, _FDV:_FDV + 3].set(fdv)
+    # columns spliced in (a full repack costs ~1.2 ms at 14k particles).
+    # In order mode the drifts are in pool order; the kernel buffer is
+    # sorted — gather them back by order for the splice.
+    sdv_s = sdv if order is None else sdv[order]
+    fdv_s = fdv if order is None else fdv[order]
+    packed_b = packed.at[:n, _SDV:_SDV + 3].set(sdv_s)
+    packed_b = packed_b.at[:n, _FDV:_FDV + 3].set(fdv_s)
     out_b = _run_column_kernel(_unidyn_kernel_b, col_start, packed_b,
                                gx, gy, b, w_cap, cfg,
                                subbin_threshold=subbin_threshold)
-    res_b = _tile_to_particle(out_b, bt, col_start, n, gx, gy, b)
+    res_b = _tile_to_particle(out_b, bt, col_start, n, gx, gy, b,
+                              order=order)
 
     dens = sorted_state.dens
     return dict(

@@ -61,12 +61,17 @@ def use_pallas_forces(cfg: SPHConfig, subbin_parity=None) -> bool:
 
 def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
                     subbin_parity=None, drift_fix=None,
-                    grid=None):
+                    grid=None, order=None):
     """Compute the ForceAccum with the resolved backend; returns
     (acc, kernel_overflow).  Shared by the single-device step and the
-    sharded step (which passes its local GridSpec + drift_fix hook)."""
+    sharded step (which passes its local GridSpec + drift_fix hook).
+
+    ``order``: binning.sort_tables mode — the state is the UNSORTED
+    pool and results come back in pool order (Pallas backends only)."""
     subbin_parity = resolve_subbin(cfg, subbin_parity)
     use_pallas = use_pallas_forces(cfg, subbin_parity)
+    assert order is None or use_pallas, \
+        "sort_tables mode needs the Pallas backend"
     if use_pallas and cfg.variant == "base":
         from tpufluids.forces import ForceAccum
         from tpufluids.sph_pallas import base_forces_pallas
@@ -74,7 +79,7 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
         sw, dp, kovf = base_forces_pallas(state, bt, cfg,
                                           b=cfg.pallas_col_cap,
                                           w_cap=cfg.pallas_col_cap,
-                                          grid=grid)
+                                          grid=grid, order=order)
         z3 = jnp.zeros((n, 3), jnp.float32)
         z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
@@ -93,7 +98,7 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
             state, bt, cfg, b=cfg.pallas_col_cap,
             w_cap=cfg.pallas_col_cap, grid=grid, drift_fix=drift_fix,
             subbin_threshold=cfg.subbin_threshold if subbin_parity
-            else None)
+            else None, order=order)
         return accum_from_pallas(state, r, cfg), r["overflow"]
     acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity,
                          subbin_threshold=cfg.subbin_threshold,
@@ -109,11 +114,17 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
     a bool overrides per call."""
     subbin_parity = resolve_subbin(cfg, subbin_parity)
     use_pallas = use_pallas_forces(cfg, subbin_parity)
-    # pallas derives neighbor windows from cell_start alone — skip the
-    # 9-pass run tables
-    state, bt = binning.sort_by_cell(state, cfg, runs=not use_pallas)
+    if use_pallas:
+        # sort_tables mode: the pool is never permuted — the Pallas
+        # pack gathers by ``order`` directly and results come back in
+        # pool order (saves the 33-column permute + a cell-id recompute
+        # per step; the sorted ADJACENCY the kernels need is in bt)
+        order, bt = binning.sort_tables(state, cfg)
+    else:
+        state, bt = binning.sort_by_cell(state, cfg, runs=True)
+        order = None
     acc, kovf = dispatch_forces(state, bt, cfg,
-                                subbin_parity=subbin_parity)
+                                subbin_parity=subbin_parity, order=order)
     bt = bt._replace(overflow=bt.overflow + kovf)
     if cfg.variant != "base" and cfg.merge_dist > 0:
         state = adapt.apply_merges(state, acc.merge_partner, cfg)

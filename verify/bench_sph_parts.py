@@ -36,3 +36,23 @@ timeit("base_forces_pallas (cap 64)", lambda: forces64(ss, bt))
 
 step_j = jax.jit(lambda s: sph_step(s, cfg))
 timeit("full sph_step", lambda: step_j(s0))
+
+# --- round 2: sort_tables (no-repermute) mode --------------------------
+tables_j = jax.jit(lambda s: binning.sort_tables(s, cfg))
+order, bt2 = tables_j(s0)
+timeit("sort_tables (no pool permute)", lambda: tables_j(s0))
+
+from tpufluids.sph_pallas import _pack_base_by_order
+pack_j = jax.jit(lambda s, o, b: _pack_base_by_order(s, o, b, cfg.pallas_col_cap))
+timeit("pack_base_by_order", lambda: pack_j(s0, order, bt2))
+
+forces_o = jax.jit(lambda s, o, b: base_forces_pallas(
+    s, b, cfg, b=cfg.pallas_col_cap, w_cap=cfg.pallas_col_cap, order=o))
+timeit("base_forces_pallas (order mode)", lambda: forces_o(s0, order, bt2))
+
+from tpufluids.config import UNIDYN_CONFIG
+from tpufluids.scenes import unidyn_tank
+ucfg = UNIDYN_CONFIG
+u0 = unidyn_tank(ucfg)
+ustep = jax.jit(lambda s: sph_step(s, ucfg))
+timeit("full unidyn sph_step (subbin default)", lambda: ustep(u0), reps=10)
