@@ -464,3 +464,74 @@ def test_unidyn_subbin_pallas_matches_oracle_interpret():
         scale = max(1.0, np.abs(o).max())
         np.testing.assert_allclose(b, o, rtol=2e-4, atol=1e-5 * scale,
                                    err_msg="oracle_" + name)
+
+
+def test_rowblock_base_matches_xla_interpret():
+    """Row-block force kernel (128-sorted-row home blocks, per-pair
+    cell masks, no capacity cap) vs the XLA pass."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import BASE_CONFIG
+    from tpufluids.forces import compute_forces
+    from tpufluids.scenes import random_blob
+    from tpufluids.sph_pallas import base_forces_rowblock
+    cfg = BASE_CONFIG.replace(max_per_cell=32, grid_size=8, cell_size=0.25)
+    state = random_blob(300, seed=9, cfg=cfg, span=0.6, boundary_frac=0.2)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    ref = compute_forces(ss, bt, cfg)
+    # sorted mode
+    with pltpu.force_tpu_interpret_mode():
+        sw, dp, ovf = base_forces_rowblock(ss, bt, cfg, w_chunk=32)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(ref.sum_w),
+                               rtol=1e-4, atol=1e-4)
+    scale = max(1.0, float(np.abs(np.asarray(ref.dpress)).max()))
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(ref.dpress),
+                               rtol=1e-4, atol=1e-5 * scale)
+    # order mode (unsorted pool)
+    from tpufluids.binning import sort_tables
+    order, bt2 = sort_tables(state, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        sw2, dp2, _ = base_forces_rowblock(state, bt2, cfg, order=order,
+                                           w_chunk=32)
+    # pid-match against the sorted reference
+    pid_s = np.asarray(ss.pid)
+    pid_o = np.asarray(state.pid)
+    mp = {int(p): i for i, p in enumerate(pid_s)}
+    perm = np.array([mp[int(p)] for p in pid_o])
+    np.testing.assert_allclose(np.asarray(sw2), np.asarray(ref.sum_w)[perm],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rowblock_unidyn_subbin_matches_xla_interpret():
+    """Row-block unidyn kernels incl. the per-pair octant predicate."""
+    import sys
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import UNIDYN_CONFIG
+    from tpufluids.forces import compute_forces
+    from tpufluids.sph_pallas import unidyn_forces_rowblock
+    sys.path.insert(0, "tests")
+    from test_forces_vs_oracle import mixed_blob
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=64)
+    state = mixed_blob(150, 7, cfg, span=0.15)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    ref = compute_forces(ss, bt, cfg, subbin_parity=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = unidyn_forces_rowblock(ss, bt, cfg, w_chunk=32,
+                                     subbin_threshold=6)
+    assert int(got["overflow"]) == 0
+    for name, a in (("sum_w", ref.sum_w), ("dpress", ref.dpress),
+                    ("diffusion", ref.diffusion),
+                    ("vel_grad", ref.vel_grad),
+                    ("stress_accel", ref.stress_accel),
+                    ("solid_drift", ref.solid_drift),
+                    ("fluid_drift", ref.fluid_drift),
+                    ("mixture_accel", ref.mixture_accel),
+                    ("delsolid", ref.delsolid),
+                    ("delfluid", ref.delfluid)):
+        a = np.asarray(a)
+        b = np.asarray(got[name])
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
+                                   err_msg=name)

@@ -157,6 +157,17 @@ class SPHConfig:
     # the excess particles' pairs are dropped deterministically).
     # Multiples of 128 (lane width); raise for dense large-N scenes.
     pallas_col_cap: int = 128
+    # window-sublane chunk: >0 processes each neighbor-column window in
+    # chunks of this many sublanes under a dynamic loop, so pair-tile
+    # VPU work scales with the actual column population instead of the
+    # worst-case cap (sph_pallas._window_loop). 0 = whole-cap tiles.
+    pallas_w_chunk: int = 32
+    # Pallas force-kernel family: "rowblock" (home block = 128
+    # consecutive sorted rows — full lane utilization, NO capacity cap,
+    # overflow impossible) or "column" (one (x,y) grid column per
+    # program, pallas_col_cap-padded tiles).  The sharded slab path
+    # always uses "column" (rowblock is full-cube only).
+    pallas_kernel: str = "rowblock"
     # dense neighbor-run capacity: each of the 9 (dx,dy) stencil runs covers
     # the contiguous cells (z-1, z, z+1) and holds at most 3*max_per_cell
     # particle slots; overflow is deterministic (highest-rank dropped) and

@@ -47,17 +47,24 @@ _X, _V, _DENS, _PRESS, _BND, _ALIVE = 0, 3, 6, 7, 8, 9
 
 
 def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, gx, gy,
-                 w_cap, body_fn, acc0):
+                 w_cap, body_fn, acc0, w_chunk=0):
     """Double-buffered sweep over the 9 neighbor columns.
 
     The window DMAs dominated the kernels' latency when issued
     start/wait back-to-back (9 serialized round trips per program);
     here window r+1 streams into the alternate VMEM slot while window
     r is being computed.  ``body_fn(acc, wj, w_count, r)`` does the
-    pair math for one window block ``wj`` (w_cap, F) with ``w_count``
-    valid rows; ``r`` is the static window index (its (dx, dy) column
-    offset is (r // 3 - 1, r % 3 - 1)).  The loop is Python-unrolled
-    so slots/semaphores are static.
+    pair math for one window block ``wj`` ((w_cap or w_chunk), F) with
+    ``w_count`` valid rows; ``r`` is the static window index (its
+    (dx, dy) column offset is (r // 3 - 1, r % 3 - 1)).  The loop is
+    Python-unrolled so slots/semaphores are static.
+
+    ``w_chunk`` > 0 processes each window in sublane chunks of that
+    size under a dynamic fori_loop, so pair-tile VPU work scales with
+    the ACTUAL window population instead of the static cap (the cap
+    must cover the worst column; most columns are far below it — the
+    tank averages ~48 of cap 128, i.e. ~2.6x padded work per axis).
+    Requires w_cap % w_chunk == 0.
 
     ``gx``/``gy`` are the x/y column-grid extents — the full cube has
     gx == gy == cfg.grid_size; a sharded x-slab has gx == x_planes
@@ -88,14 +95,26 @@ def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, gx, gy,
             nxt = rng(r + 1)
             copy(1 - slot, nxt[0]).start()
         copy(slot, w_start).wait()
-        acc = body_fn(acc, win2[slot], w_count, r)
+        if w_chunk:
+            win_ref = win2.at[slot]
+
+            def chunk_body(i, a, r=r, win_ref=win_ref,
+                           w_count=w_count):
+                wj = win_ref[pl.ds(i * w_chunk, w_chunk)]
+                cnt = jnp.minimum(w_count - i * w_chunk, w_chunk)
+                return body_fn(a, wj, cnt, r)
+
+            n_ch = (w_count + w_chunk - 1) // w_chunk
+            acc = jax.lax.fori_loop(0, n_ch, chunk_body, acc)
+        else:
+            acc = body_fn(acc, win2[slot], w_count, r)
         if r + 1 < NCOLS:
             w_start, w_count = nxt
     return acc
 
 
 def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
-                gx, gy, b, w_cap, cfg: SPHConfig):
+                gx, gy, b, w_cap, cfg: SPHConfig, w_chunk=0):
     t = pl.program_id(0)
     cx = t // gy
     cy = t % gy
@@ -107,20 +126,16 @@ def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
     def _do_column():
         _column_body(col_start, packed_hbm, out_ref, home, win2, sems,
                      t=t, cx=cx, cy=cy, h_start=h_start, h_count=h_count,
-                     gx=gx, gy=gy, b=b, w_cap=w_cap, cfg=cfg)
+                     gx=gx, gy=gy, b=b, w_cap=w_cap, cfg=cfg,
+                     w_chunk=w_chunk)
 
 
-def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
-                 t, cx, cy, h_start, h_count, gx, gy, b, w_cap, cfg):
-    cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
-                               sems.at[2])
-    cp.start()
-    cp.wait()
+def _make_base_body(hmT, i_valid, cfg, *, xy_cells=False):
+    """Build the base-variant pair body closure over the home block.
 
-    # one transpose per program: i-fields become rows -> (1, B) lane
-    # vectors that broadcast over the j sublanes for free
-    hmT = home[...].T                                     # (F, B)
-
+    ``xy_cells=True`` (row-block kernel) additionally masks pairs to
+    the |dcx| <= 1 & |dcy| <= 1 cell stencil per pair — the column
+    kernel guarantees that by window construction instead."""
     def irow(c):
         return hmT[c, :][None, :]                          # (1, B)
 
@@ -130,16 +145,18 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
     pi = irow(_PRESS)
     bi = irow(_BND) > 0.5
     h = jnp.float32(cfg.cutoff)
-    czi = jnp.floor((xi_z - cfg.zmin) / cfg.cell_size)
-    i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) < h_count)
-               & (irow(_ALIVE) > 0.5))
+    cs = jnp.float32(cfg.cell_size)
+    czi = jnp.floor((xi_z - cfg.zmin) / cs)
+    cxi = jnp.floor((xi_x - cfg.xmin) / cs) if xy_cells else None
+    cyi = jnp.floor((xi_y - cfg.ymin) / cs) if xy_cells else None
 
     def window_body(acc, wj, w_count, r):
         def jcol(c):
             return wj[:, c][:, None]                       # (W, 1)
 
         xj_x, xj_y, xj_z = jcol(_X), jcol(_X + 1), jcol(_X + 2)
-        j_valid = ((jax.lax.broadcasted_iota(jnp.int32, (w_cap, 1), 0)
+        j_valid = ((jax.lax.broadcasted_iota(
+            jnp.int32, (wj.shape[0], 1), 0)
                     < w_count) & (jcol(_ALIVE) > 0.5))
 
         rabx = xi_x - xj_x                                 # (W, B)
@@ -147,9 +164,14 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
         rabz = xi_z - xj_z
         ds2 = rabx * rabx + raby * raby + rabz * rabz
         ds = jnp.sqrt(ds2)
-        czj = jnp.floor((xj_z - cfg.zmin) / cfg.cell_size)
-        dz_ok = jnp.abs(czi - czj) <= 1.0
-        mask = (i_valid & j_valid & dz_ok & (ds > 0) & (ds <= 2 * h))
+        czj = jnp.floor((xj_z - cfg.zmin) / cs)
+        mask = (i_valid & j_valid & (jnp.abs(czi - czj) <= 1.0)
+                & (ds > 0) & (ds <= 2 * h))
+        if xy_cells:
+            cxj = jnp.floor((xj_x - cfg.xmin) / cs)
+            cyj = jnp.floor((xj_y - cfg.ymin) / cs)
+            mask = mask & (jnp.abs(cxi - cxj) <= 1.0) \
+                & (jnp.abs(cyi - cyj) <= 1.0)
         ds_safe = jnp.where(ds > 0, ds, 1.0)
 
         wker = w_cubic(ds, h)                # FluidGPU.cu:11-21
@@ -182,9 +204,28 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
         dpz = msum(pk * rabz)
         return acc + jnp.stack([sum_w, dpx, dpy, dpz], axis=0)  # (4, B)
 
+    return window_body
+
+
+def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
+                 t, cx, cy, h_start, h_count, gx, gy, b, w_cap, cfg,
+                 w_chunk=0):
+    cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
+                               sems.at[2])
+    cp.start()
+    cp.wait()
+
+    # one transpose per program: i-fields become rows -> (1, B) lane
+    # vectors that broadcast over the j sublanes for free
+    hmT = home[...].T                                     # (F, B)
+    i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) < h_count)
+               & (hmT[_ALIVE, :][None, :] > 0.5))
+    window_body = _make_base_body(hmT, i_valid, cfg)
+
     acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
                        gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
-                       acc0=jnp.zeros((4, b), jnp.float32))
+                       acc0=jnp.zeros((4, b), jnp.float32),
+                       w_chunk=w_chunk)
     # tiles are written in (b, F) orientation (one transpose per
     # program) so the map back to particle order is a cheap row
     # gather — a (rows, g^2*b) column gather costs ~36 ns/element on
@@ -201,7 +242,7 @@ def _grid_extents(cfg: SPHConfig, grid):
     return grid.x_planes, grid.g
 
 
-def _pack_base_by_order(state: ParticleState, order, bt, b: int):
+def _pack_base_by_order(state: ParticleState, order, bt, pad: int):
     """Build the base packed kernel input directly from the UNSORTED
     pool with one row gather by ``order`` (binning.sort_tables mode):
     replaces permute_pool's 33-column gather + the field-by-field
@@ -215,10 +256,10 @@ def _pack_base_by_order(state: ParticleState, order, bt, b: int):
     rows = cols[order]
     alive = rows[:, 9:10] * bt.in_dom.astype(f32)[:, None]
     rows = jnp.concatenate([rows[:, :9], alive], axis=1)
-    return jnp.pad(rows, ((0, b), (0, F - 10)))
+    return jnp.pad(rows, ((0, pad), (0, F - 10)))
 
 
-def _pack_unidyn_by_order(state: ParticleState, order, bt, b: int):
+def _pack_unidyn_by_order(state: ParticleState, order, bt, pad: int):
     """Unidyn twin of _pack_base_by_order (layout of _pack_unidyn plus
     the sorted-order home_count/octant columns)."""
     f32 = jnp.float32
@@ -236,12 +277,12 @@ def _pack_unidyn_by_order(state: ParticleState, order, bt, b: int):
         jnp.zeros((n, 6), f32),                 # _SDV/_FDV slots
         bt.home_count.astype(f32)[:, None],
         bt.octant.astype(f32)[:, None]], axis=1)            # (n, 33)
-    return jnp.pad(rows, ((0, b), (0, F - 33)))
+    return jnp.pad(rows, ((0, pad), (0, F - 33)))
 
 
 def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
                        cfg: SPHConfig, b: int = 128, w_cap: int = 128,
-                       grid=None, order=None):
+                       grid=None, order=None, w_chunk: int = 0):
     """Compute (sum_w, dpress, overflow) for the base variant with the
     column-window Pallas kernel.  ``sorted_state`` must be cell-sorted
     with the same ``grid`` (binning.GridSpec; None = full cube — a
@@ -249,14 +290,18 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
 
     With ``order`` given (binning.sort_tables mode), the state is the
     UNSORTED pool: the packed input is gathered by ``order`` and the
-    results come back in pool order."""
+    results come back in pool order.  ``w_chunk`` > 0 processes window
+    sublanes in population-proportional chunks (see _window_loop)."""
     gx, gy = _grid_extents(cfg, grid)
     n = sorted_state.capacity
+    if w_chunk:
+        w_cap = -(-w_cap // w_chunk) * w_chunk
+    pad = max(b, w_cap)
 
     if order is not None:
-        packed = _pack_base_by_order(sorted_state, order, bt, b)
+        packed = _pack_base_by_order(sorted_state, order, bt, pad)
     else:
-        packed = jnp.zeros((n + b, F), jnp.float32)
+        packed = jnp.zeros((n + pad, F), jnp.float32)
         packed = packed.at[:n, _X:_X + 3].set(sorted_state.pos)
         packed = packed.at[:n, _V:_V + 3].set(sorted_state.vel)
         packed = packed.at[:n, _DENS].set(sorted_state.dens)
@@ -272,7 +317,7 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     overflow = jnp.sum(jnp.maximum(col_count - b, 0))
 
     kern = functools.partial(_sph_kernel, gx=gx, gy=gy, b=b, w_cap=w_cap,
-                             cfg=cfg)
+                             cfg=cfg, w_chunk=w_chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gx * gy,),
@@ -317,13 +362,13 @@ _B_MA, _B_DSOL, _B_DFLU = 0, 3, 4
 _B_ROWS = 5
 
 
-def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, b: int):
-    """Pack the unidyn field set into (n + b, F) rows; pass B splices
+def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, pad: int):
+    """Pack the unidyn field set into (n + pad, F) rows; pass B splices
     the drift-velocity columns into this buffer afterwards (see
     unidyn_forces_pallas)."""
     n = sorted_state.capacity
     s = sorted_state
-    packed = jnp.zeros((n + b, F), jnp.float32)
+    packed = jnp.zeros((n + pad, F), jnp.float32)
     packed = packed.at[:n, _X:_X + 3].set(s.pos)
     packed = packed.at[:n, _V:_V + 3].set(s.vel)
     packed = packed.at[:n, _DENS].set(s.dens)
@@ -350,9 +395,16 @@ def _unidyn_prologue(col_start, packed_hbm, home, sems, t, b):
     return home[...].T                                      # (F, B)
 
 
-def _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg):
-    """Shared pair geometry on the (W, B) tile; returns a dict."""
+def _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg, *, xy_cells=False,
+               cxi=None, cyi=None):
+    """Shared pair geometry on the (W, B) tile; returns a dict.
+
+    ``xy_cells=True`` (row-block kernel) also computes per-pair x/y
+    cell offsets (dxc/dyc) and masks pairs to the |dcx| <= 1 &
+    |dcy| <= 1 stencil — the column kernel guarantees membership by
+    window construction."""
     h = jnp.float32(cfg.cutoff)
+    cs = jnp.float32(cfg.cell_size)
 
     def irow(c):
         return hmT[c, :][None, :]
@@ -365,9 +417,14 @@ def _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg):
     rabz = irow(_X + 2) - jcol(_X + 2)
     ds2 = rabx * rabx + raby * raby + rabz * rabz
     ds = jnp.sqrt(ds2)
-    czj = jnp.floor((jcol(_X + 2) - cfg.zmin) / cfg.cell_size)
+    czj = jnp.floor((jcol(_X + 2) - cfg.zmin) / cs)
     dz_ok = jnp.abs(czi - czj) <= 1.0
     mask = (i_valid & j_valid & dz_ok & (ds > 0) & (ds <= 2 * h))
+    dxc = dyc = None
+    if xy_cells:
+        dxc = jnp.floor((jcol(_X) - cfg.xmin) / cs) - cxi
+        dyc = jnp.floor((jcol(_X + 1) - cfg.ymin) / cs) - cyi
+        mask = mask & (jnp.abs(dxc) <= 1.0) & (jnp.abs(dyc) <= 1.0)
     ds_safe = jnp.where(ds > 0, ds, 1.0)
     vabx = irow(_V) - jcol(_V)
     vaby = irow(_V + 1) - jcol(_V + 1)
@@ -376,7 +433,8 @@ def _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg):
     dw = grad_w_spiky(ds, h)                 # FluidGPU.cu:35-43
     return dict(rab=(rabx, raby, rabz), vab=(vabx, vaby, vabz),
                 ds=ds, ds2=ds2, ds_safe=ds_safe, d=d, mask=mask,
-                dkf=dw / ds_safe, dzc=czj - czi, irow=irow, jcol=jcol)
+                dkf=dw / ds_safe, dzc=czj - czi, dxc=dxc, dyc=dyc,
+                irow=irow, jcol=jcol)
 
 
 def _subbin_mask(gm, irow, r, subbin_threshold):
@@ -387,25 +445,30 @@ def _subbin_mask(gm, irow, r, subbin_threshold):
     (binning.octant: bit0 = x upper half, bit1 = y upper, bit2 = z
     LOWER — the reference's inverted z test).  dx/dy are static per
     window; dz varies per pair."""
-    dx = r // 3 - 1
-    dy = r % 3 - 1
     o = irow(_OCT)                              # (1, B) float 0..7
     overfull = irow(_HCNT) > subbin_threshold
     dirz = jnp.where(o >= 4, -1.0, 1.0)
     ok = (gm["dzc"] == 0.0) | (gm["dzc"] == dirz)
+    dirx = jnp.where(jnp.mod(o, 2.0) >= 1.0, 1.0, -1.0)
+    diry = jnp.where(jnp.mod(jnp.floor(o / 2.0), 2.0) >= 1.0,
+                     1.0, -1.0)
+    if r is None:
+        # row-block kernel: dx/dy vary per pair (gm["dxc"]/["dyc"])
+        ok = ok & ((gm["dxc"] == 0.0) | (gm["dxc"] == dirx))
+        ok = ok & ((gm["dyc"] == 0.0) | (gm["dyc"] == diry))
+        return ~overfull | ok
+    dx = r // 3 - 1
+    dy = r % 3 - 1
     if dx != 0:
-        dirx = jnp.where(jnp.mod(o, 2.0) >= 1.0, 1.0, -1.0)
         ok = ok & (dirx == dx)
     if dy != 0:
-        diry = jnp.where(jnp.mod(jnp.floor(o / 2.0), 2.0) >= 1.0,
-                         1.0, -1.0)
         ok = ok & (diry == dy)
     return ~overfull | ok
 
 
 def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
                      gx, gy, b, w_cap, cfg: SPHConfig,
-                     subbin_threshold=None):
+                     subbin_threshold=None, w_chunk=0):
     t = pl.program_id(0)
     cx = t // gy
     cy = t % gy
@@ -414,129 +477,144 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
     @pl.when(h_count > 0)
     def _():
         hmT = _unidyn_prologue(col_start, packed_hbm, home, sems, t, b)
-
-        def irow(c):
-            return hmT[c, :][None, :]
-
-        h = jnp.float32(cfg.cutoff)
-        czi = jnp.floor((irow(_X + 2) - cfg.zmin) / cfg.cell_size)
         i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
-                    < h_count) & (irow(_ALIVE) > 0.5))
-        bi = irow(_BND) > 0.5
-        di, pi = irow(_DENS), irow(_PRESS)
-        si, fi = irow(_SOLID), irow(_FLUID)
-        mi = irow(_MASS)
-        # mass fractions + mixture gate (FluidGPU-unidyn.cu:314-317)
-        denom = cfg.rho0_sand * si + cfg.rho0 * fi
-        denom = jnp.where(denom == 0, 1.0, denom)
-        msf = si * cfg.rho0_sand / denom
-        mff = fi * cfg.rho0 / denom
-        gate_i = ((msf > cfg.mix_frac_min) & (msf < cfg.mix_frac_max)
-                  & (mff > cfg.mix_frac_min) & (mff < cfg.mix_frac_max))
-        s_safe = jnp.where(si == 0, 1.0, si)
-        f_safe = jnp.where(fi == 0, 1.0, fi)
-
-        def window_body(acc, wj, w_count, r):
-            def jcol(c):
-                return wj[:, c][:, None]
-
-            j_valid = ((jax.lax.broadcasted_iota(jnp.int32, (w_cap, 1), 0)
-                        < w_count) & (jcol(_ALIVE) > 0.5))
-            gm = _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg)
-            mask = gm["mask"]
-            if subbin_threshold is not None:
-                mask = mask & _subbin_mask(gm, irow, r, subbin_threshold)
-            rabx, raby, rabz = gm["rab"]
-            vabx, vaby, vabz = gm["vab"]
-            ds, ds2, d, dkf = gm["ds"], gm["ds2"], gm["d"], gm["dkf"]
-
-            def msum(x):
-                return jnp.sum(jnp.where(mask, x, 0.0), axis=0)
-
-            bj = jcol(_BND) > 0.5
-            nb_bnd = (~bi) & bj
-            both_fluid = (~bi) & (~bj)
-            mj = jcol(_MASS)
-            dj, pj = jcol(_DENS), jcol(_PRESS)
-            sj, fj = jcol(_SOLID), jcol(_FLUID)
-
-            wker = w_cubic(ds, h)            # FluidGPU.cu:11-21
-
-            # unidyn viscosity (FluidGPU-unidyn.cu:307)
-            mu = h * (d / (ds2 + 0.01 * h * h))
-            alpha_i = (si * 9.0 + 1.0) * cfg.alpha_fluid
-            bfac = 1.0 + nb_bnd * ((1.0 + 3.0 * fi * fi)
-                                   * cfg.alpha_sand_boundary)
-            rho_bar = (di + dj) / 2.0
-            s = (alpha_i * cfg.sound
-                 * (mi * mu + cfg.visc_quadratic / cfg.sound * mu * mu)
-                 / rho_bar * (d < 0) * bfac)
-            p_term = pj / (dj * dj) + pi / (di * di) + s
-            pk = p_term * dkf * mj
-
-            rows = [msum(wker * (1.0 + nb_bnd * cfg.bdensfactor) * mj),
-                    msum(pk * rabx), msum(pk * raby), msum(pk * rabz)]
-            # diffusion / color gradient (FluidGPU-unidyn.cu:364-366)
-            dfac = jnp.where(both_fluid, mj / dj, 0.0) * dkf
-            rows += [msum(dfac * rabx), msum(dfac * raby), msum(dfac * rabz)]
-
-            # mixfactor-gated velocity gradient (FluidGPU-unidyn.cu:368-377)
-            mixfactor = jnp.where(
-                both_fluid & (si > 0) & (sj > 0),
-                2.0 * si * sj / (si + sj + cfg.mixfactor_reg), 0.0)
-            rab = (rabx, raby, rabz)
-            vab = (vabx, vaby, vabz)
-            for a in range(3):
-                for bb in range(3):
-                    rows.append(msum(-mixfactor * vab[bb] * dkf * rab[a]))
-
-            # stress acceleration (FluidGPU-unidyn.cu:379-381); sigma_i is
-            # per-home-particle, so the row contraction is over lanes
-            for a in range(3):
-                term = dkf * (irow(_SIG + 3 * a) * rabx
-                              + irow(_SIG + 3 * a + 1) * raby
-                              + irow(_SIG + 3 * a + 2) * rabz)
-                rows.append(msum((1.0 + mixfactor) * term))
-
-            # drift velocities (pass A; FluidGPU-unidyn.cu:314-356)
-            g3 = mask & both_fluid & gate_i
-            sg = [(sj - si) * dkf * r for r in rab]
-            fg = [(fj - fi) * dkf * r for r in rab]
-            A_ = [(si * pi - sj * pj) * dkf * r for r in rab]
-            B_ = [(fi * pi - fj * pj) * dkf * r for r in rab]
-            v_dk = dkf * (irow(_V) * rabx + irow(_V + 1) * raby
-                          + irow(_V + 2) * rabz)
-            s_pref = di * (si - msf * si - mff * fi)
-            f_pref = di * (fi - msf * si - mff * fi)
-            grav = (0.0, 0.0, cfg.gravity)
-            sdv_rows, fdv_rows = [], []
-            for a in range(3):
-                body = ((150.0 / di) * irow(_DP + a) + grav[a]
-                        - v_dk * vab[a])
-                sbrown = sg[a] / s_safe * (1 - msf) - mff * fg[a] / f_safe
-                fbrown = fg[a] / f_safe * (1 - mff) - msf * sg[a] / s_safe
-                sslip = A_[a] * (1 - msf) - mff * B_[a]
-                fslip = B_[a] * (1 - mff) - msf * A_[a]
-                sdv_rows.append(jnp.sum(jnp.where(
-                    g3, cfg.mixpressure * (s_pref * body + sslip)
-                    - cfg.mixbrownian * sbrown, 0.0), axis=0))
-                fdv_rows.append(jnp.sum(jnp.where(
-                    g3, cfg.mixpressure * (f_pref * body + fslip)
-                    - cfg.mixbrownian * fbrown, 0.0), axis=0))
-            rows += sdv_rows + fdv_rows
-            rows.append(msum(jnp.ones_like(ds)))   # pair count
-            return acc + jnp.stack(rows, axis=0)
+                    < h_count) & (hmT[_ALIVE, :][None, :] > 0.5))
+        window_body = _make_unidyn_a_body(hmT, i_valid, cfg,
+                                          subbin_threshold)
 
         acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
                            gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
-                           acc0=jnp.zeros((_A_ROWS, b), jnp.float32))
+                           acc0=jnp.zeros((_A_ROWS, b), jnp.float32),
+                           w_chunk=w_chunk)
         out_ref[...] = jnp.concatenate(
             [acc.T, jnp.zeros((b, F - _A_ROWS), jnp.float32)], axis=1)
 
 
+def _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
+                        xy_cells=False):
+    """Pass-A pair body closure over the home block (shared by the
+    column and row-block kernels)."""
+    def irow(c):
+        return hmT[c, :][None, :]
+
+    h = jnp.float32(cfg.cutoff)
+    cs = jnp.float32(cfg.cell_size)
+    czi = jnp.floor((irow(_X + 2) - cfg.zmin) / cs)
+    cxi = jnp.floor((irow(_X) - cfg.xmin) / cs) if xy_cells else None
+    cyi = jnp.floor((irow(_X + 1) - cfg.ymin) / cs) if xy_cells else None
+    bi = irow(_BND) > 0.5
+    di, pi = irow(_DENS), irow(_PRESS)
+    si, fi = irow(_SOLID), irow(_FLUID)
+    mi = irow(_MASS)
+    # mass fractions + mixture gate (FluidGPU-unidyn.cu:314-317)
+    denom = cfg.rho0_sand * si + cfg.rho0 * fi
+    denom = jnp.where(denom == 0, 1.0, denom)
+    msf = si * cfg.rho0_sand / denom
+    mff = fi * cfg.rho0 / denom
+    gate_i = ((msf > cfg.mix_frac_min) & (msf < cfg.mix_frac_max)
+              & (mff > cfg.mix_frac_min) & (mff < cfg.mix_frac_max))
+    s_safe = jnp.where(si == 0, 1.0, si)
+    f_safe = jnp.where(fi == 0, 1.0, fi)
+
+    def window_body(acc, wj, w_count, r):
+        def jcol(c):
+            return wj[:, c][:, None]
+
+        j_valid = ((jax.lax.broadcasted_iota(
+            jnp.int32, (wj.shape[0], 1), 0)
+                    < w_count) & (jcol(_ALIVE) > 0.5))
+        gm = _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg,
+                        xy_cells=xy_cells, cxi=cxi, cyi=cyi)
+        mask = gm["mask"]
+        if subbin_threshold is not None:
+            mask = mask & _subbin_mask(gm, irow, r, subbin_threshold)
+        rabx, raby, rabz = gm["rab"]
+        vabx, vaby, vabz = gm["vab"]
+        ds, ds2, d, dkf = gm["ds"], gm["ds2"], gm["d"], gm["dkf"]
+
+        def msum(x):
+            return jnp.sum(jnp.where(mask, x, 0.0), axis=0)
+
+        bj = jcol(_BND) > 0.5
+        nb_bnd = (~bi) & bj
+        both_fluid = (~bi) & (~bj)
+        mj = jcol(_MASS)
+        dj, pj = jcol(_DENS), jcol(_PRESS)
+        sj, fj = jcol(_SOLID), jcol(_FLUID)
+
+        wker = w_cubic(ds, h)            # FluidGPU.cu:11-21
+
+        # unidyn viscosity (FluidGPU-unidyn.cu:307)
+        mu = h * (d / (ds2 + 0.01 * h * h))
+        alpha_i = (si * 9.0 + 1.0) * cfg.alpha_fluid
+        bfac = 1.0 + nb_bnd * ((1.0 + 3.0 * fi * fi)
+                               * cfg.alpha_sand_boundary)
+        rho_bar = (di + dj) / 2.0
+        s = (alpha_i * cfg.sound
+             * (mi * mu + cfg.visc_quadratic / cfg.sound * mu * mu)
+             / rho_bar * (d < 0) * bfac)
+        p_term = pj / (dj * dj) + pi / (di * di) + s
+        pk = p_term * dkf * mj
+
+        rows = [msum(wker * (1.0 + nb_bnd * cfg.bdensfactor) * mj),
+                msum(pk * rabx), msum(pk * raby), msum(pk * rabz)]
+        # diffusion / color gradient (FluidGPU-unidyn.cu:364-366)
+        dfac = jnp.where(both_fluid, mj / dj, 0.0) * dkf
+        rows += [msum(dfac * rabx), msum(dfac * raby), msum(dfac * rabz)]
+
+        # mixfactor-gated velocity gradient (FluidGPU-unidyn.cu:368-377)
+        mixfactor = jnp.where(
+            both_fluid & (si > 0) & (sj > 0),
+            2.0 * si * sj / (si + sj + cfg.mixfactor_reg), 0.0)
+        rab = (rabx, raby, rabz)
+        vab = (vabx, vaby, vabz)
+        for a in range(3):
+            for bb in range(3):
+                rows.append(msum(-mixfactor * vab[bb] * dkf * rab[a]))
+
+        # stress acceleration (FluidGPU-unidyn.cu:379-381); sigma_i is
+        # per-home-particle, so the row contraction is over lanes
+        for a in range(3):
+            term = dkf * (irow(_SIG + 3 * a) * rabx
+                          + irow(_SIG + 3 * a + 1) * raby
+                          + irow(_SIG + 3 * a + 2) * rabz)
+            rows.append(msum((1.0 + mixfactor) * term))
+
+        # drift velocities (pass A; FluidGPU-unidyn.cu:314-356)
+        g3 = mask & both_fluid & gate_i
+        sg = [(sj - si) * dkf * r for r in rab]
+        fg = [(fj - fi) * dkf * r for r in rab]
+        A_ = [(si * pi - sj * pj) * dkf * r for r in rab]
+        B_ = [(fi * pi - fj * pj) * dkf * r for r in rab]
+        v_dk = dkf * (irow(_V) * rabx + irow(_V + 1) * raby
+                      + irow(_V + 2) * rabz)
+        s_pref = di * (si - msf * si - mff * fi)
+        f_pref = di * (fi - msf * si - mff * fi)
+        grav = (0.0, 0.0, cfg.gravity)
+        sdv_rows, fdv_rows = [], []
+        for a in range(3):
+            body = ((150.0 / di) * irow(_DP + a) + grav[a]
+                    - v_dk * vab[a])
+            sbrown = sg[a] / s_safe * (1 - msf) - mff * fg[a] / f_safe
+            fbrown = fg[a] / f_safe * (1 - mff) - msf * sg[a] / s_safe
+            sslip = A_[a] * (1 - msf) - mff * B_[a]
+            fslip = B_[a] * (1 - mff) - msf * A_[a]
+            sdv_rows.append(jnp.sum(jnp.where(
+                g3, cfg.mixpressure * (s_pref * body + sslip)
+                - cfg.mixbrownian * sbrown, 0.0), axis=0))
+            fdv_rows.append(jnp.sum(jnp.where(
+                g3, cfg.mixpressure * (f_pref * body + fslip)
+                - cfg.mixbrownian * fbrown, 0.0), axis=0))
+        rows += sdv_rows + fdv_rows
+        rows.append(msum(jnp.ones_like(ds)))   # pair count
+        return acc + jnp.stack(rows, axis=0)
+
+    return window_body
+
+
 def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win2, sems, *,
                      gx, gy, b, w_cap, cfg: SPHConfig,
-                     subbin_threshold=None):
+                     subbin_threshold=None, w_chunk=0):
     t = pl.program_id(0)
     cx = t // gy
     cy = t % gy
@@ -545,75 +623,90 @@ def _unidyn_kernel_b(col_start, packed_hbm, out_ref, home, win2, sems, *,
     @pl.when(h_count > 0)
     def _():
         hmT = _unidyn_prologue(col_start, packed_hbm, home, sems, t, b)
-
-        def irow(c):
-            return hmT[c, :][None, :]
-
-        czi = jnp.floor((irow(_X + 2) - cfg.zmin) / cfg.cell_size)
         i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
-                    < h_count) & (irow(_ALIVE) > 0.5))
-        bi = irow(_BND) > 0.5
-        di = irow(_DENS)
-        si, fi = irow(_SOLID), irow(_FLUID)
-        sdvi = [irow(_SDV + a) for a in range(3)]
-        fdvi = [irow(_FDV + a) for a in range(3)]
-
-        def window_body(acc, wj, w_count, r):
-            def jcol(c):
-                return wj[:, c][:, None]
-
-            j_valid = ((jax.lax.broadcasted_iota(jnp.int32, (w_cap, 1), 0)
-                        < w_count) & (jcol(_ALIVE) > 0.5))
-            gm = _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg)
-            mask = gm["mask"]
-            if subbin_threshold is not None:
-                mask = mask & _subbin_mask(gm, irow, r, subbin_threshold)
-            rab = gm["rab"]
-            vab = gm["vab"]
-            dkf = gm["dkf"]
-
-            def msum(x):
-                return jnp.sum(jnp.where(mask, x, 0.0), axis=0)
-
-            bj = jcol(_BND) > 0.5
-            both_fluid = (~bi) & (~bj)
-            dj = jcol(_DENS)
-            sj, fj = jcol(_SOLID), jcol(_FLUID)
-            sdvj = [jcol(_SDV + a) for a in range(3)]
-            fdvj = [jcol(_FDV + a) for a in range(3)]
-
-            ds_i = dkf * sum(sdvi[a] * rab[a] for a in range(3))
-            ds_j = dkf * sum(sdvj[a] * rab[a] for a in range(3))
-            df_i = dkf * sum(fdvi[a] * rab[a] for a in range(3))
-            df_j = dkf * sum(fdvj[a] * rab[a] for a in range(3))
-
-            rows = []
-            # mixture acceleration (FluidGPU-unidyn.cu:391-398)
-            for a in range(3):
-                term = (sj * dj * (sj * sdvj[a] * ds_j + si * sdvi[a] * ds_i)
-                        + fj * dj * (fj * fdvj[a] * df_j
-                                     + fi * fdvi[a] * df_i))
-                rows.append(msum(-term / (di * dj)))
-            # phase transport (FluidGPU-unidyn.cu:400-401): divergence part
-            # boundary-gated, drift part ungated (reference precedence)
-            dk_vab = dkf * sum(rab[a] * vab[a] for a in range(3))
-            drift_s = dkf * sum((si * sdvi[a] + sj * sdvj[a]) * rab[a]
-                                for a in range(3))
-            drift_f = dkf * sum((fi * fdvi[a] + fj * fdvj[a]) * rab[a]
-                                for a in range(3))
-            rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
-                             * (-0.5 / dj) * (si + sj) * dk_vab
-                             + (-drift_s) / dj))
-            rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
-                             * (-0.5 / dj) * (fi + fj) * dk_vab
-                             + (-drift_f) / dj))
-            return acc + jnp.stack(rows, axis=0)
+                    < h_count) & (hmT[_ALIVE, :][None, :] > 0.5))
+        window_body = _make_unidyn_b_body(hmT, i_valid, cfg,
+                                          subbin_threshold)
 
         acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
                            gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
-                           acc0=jnp.zeros((_B_ROWS, b), jnp.float32))
+                           acc0=jnp.zeros((_B_ROWS, b), jnp.float32),
+                           w_chunk=w_chunk)
         out_ref[...] = jnp.concatenate(
             [acc.T, jnp.zeros((b, F - _B_ROWS), jnp.float32)], axis=1)
+
+
+def _make_unidyn_b_body(hmT, i_valid, cfg, subbin_threshold,
+                        xy_cells=False):
+    """Pass-B pair body closure over the home block (shared by the
+    column and row-block kernels)."""
+    def irow(c):
+        return hmT[c, :][None, :]
+
+    cs = jnp.float32(cfg.cell_size)
+    czi = jnp.floor((irow(_X + 2) - cfg.zmin) / cs)
+    cxi = jnp.floor((irow(_X) - cfg.xmin) / cs) if xy_cells else None
+    cyi = jnp.floor((irow(_X + 1) - cfg.ymin) / cs) if xy_cells else None
+    bi = irow(_BND) > 0.5
+    di = irow(_DENS)
+    si, fi = irow(_SOLID), irow(_FLUID)
+    sdvi = [irow(_SDV + a) for a in range(3)]
+    fdvi = [irow(_FDV + a) for a in range(3)]
+
+    def window_body(acc, wj, w_count, r):
+        def jcol(c):
+            return wj[:, c][:, None]
+
+        j_valid = ((jax.lax.broadcasted_iota(
+            jnp.int32, (wj.shape[0], 1), 0)
+                    < w_count) & (jcol(_ALIVE) > 0.5))
+        gm = _pair_geom(hmT, wj, czi, i_valid, j_valid, cfg,
+                        xy_cells=xy_cells, cxi=cxi, cyi=cyi)
+        mask = gm["mask"]
+        if subbin_threshold is not None:
+            mask = mask & _subbin_mask(gm, irow, r, subbin_threshold)
+        rab = gm["rab"]
+        vab = gm["vab"]
+        dkf = gm["dkf"]
+
+        def msum(x):
+            return jnp.sum(jnp.where(mask, x, 0.0), axis=0)
+
+        bj = jcol(_BND) > 0.5
+        both_fluid = (~bi) & (~bj)
+        dj = jcol(_DENS)
+        sj, fj = jcol(_SOLID), jcol(_FLUID)
+        sdvj = [jcol(_SDV + a) for a in range(3)]
+        fdvj = [jcol(_FDV + a) for a in range(3)]
+
+        ds_i = dkf * sum(sdvi[a] * rab[a] for a in range(3))
+        ds_j = dkf * sum(sdvj[a] * rab[a] for a in range(3))
+        df_i = dkf * sum(fdvi[a] * rab[a] for a in range(3))
+        df_j = dkf * sum(fdvj[a] * rab[a] for a in range(3))
+
+        rows = []
+        # mixture acceleration (FluidGPU-unidyn.cu:391-398)
+        for a in range(3):
+            term = (sj * dj * (sj * sdvj[a] * ds_j + si * sdvi[a] * ds_i)
+                    + fj * dj * (fj * fdvj[a] * df_j
+                                 + fi * fdvi[a] * df_i))
+            rows.append(msum(-term / (di * dj)))
+        # phase transport (FluidGPU-unidyn.cu:400-401): divergence part
+        # boundary-gated, drift part ungated (reference precedence)
+        dk_vab = dkf * sum(rab[a] * vab[a] for a in range(3))
+        drift_s = dkf * sum((si * sdvi[a] + sj * sdvj[a]) * rab[a]
+                            for a in range(3))
+        drift_f = dkf * sum((fi * fdvi[a] + fj * fdvj[a]) * rab[a]
+                            for a in range(3))
+        rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
+                         * (-0.5 / dj) * (si + sj) * dk_vab
+                         + (-drift_s) / dj))
+        rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
+                         * (-0.5 / dj) * (fi + fj) * dk_vab
+                         + (-drift_f) / dj))
+        return acc + jnp.stack(rows, axis=0)
+
+    return window_body
 
 
 def _run_column_kernel(kern_fn, col_start, packed, gx, gy, b, w_cap, cfg,
@@ -664,7 +757,8 @@ def _tile_to_particle(out, bt, col_start, n, gx, gy, b, order=None):
 def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
                          cfg: SPHConfig, b: int = 128, w_cap: int = 128,
                          grid=None, drift_fix=None,
-                         subbin_threshold=None, order=None):
+                         subbin_threshold=None, order=None,
+                         w_chunk: int = 0):
     """Full unidyn pair accumulation with the column-window kernels.
 
     NOT itself jitted: callers run it inside their own jit (step.sph_step,
@@ -684,17 +778,21 @@ def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     """
     gx, gy = _grid_extents(cfg, grid)
     n = sorted_state.capacity
+    if w_chunk:
+        w_cap = -(-w_cap // w_chunk) * w_chunk
+    pad = max(b, w_cap)
     col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
     col_count = col_start[1:] - col_start[:-1]
     overflow = jnp.sum(jnp.maximum(col_count - b, 0))
 
     if order is not None:
-        packed = _pack_unidyn_by_order(sorted_state, order, bt, b)
+        packed = _pack_unidyn_by_order(sorted_state, order, bt, pad)
     else:
-        packed = _pack_unidyn(sorted_state, bt, b)
+        packed = _pack_unidyn(sorted_state, bt, pad)
     out_a = _run_column_kernel(_unidyn_kernel_a, col_start, packed,
                                gx, gy, b, w_cap, cfg,
-                               subbin_threshold=subbin_threshold)
+                               subbin_threshold=subbin_threshold,
+                               w_chunk=w_chunk)
     res_a = _tile_to_particle(out_a, bt, col_start, n, gx, gy, b,
                               order=order)
     sdv = res_a[:, _A_SDV:_A_SDV + 3]
@@ -712,7 +810,8 @@ def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     packed_b = packed_b.at[:n, _FDV:_FDV + 3].set(fdv_s)
     out_b = _run_column_kernel(_unidyn_kernel_b, col_start, packed_b,
                                gx, gy, b, w_cap, cfg,
-                               subbin_threshold=subbin_threshold)
+                               subbin_threshold=subbin_threshold,
+                               w_chunk=w_chunk)
     res_b = _tile_to_particle(out_b, bt, col_start, n, gx, gy, b,
                               order=order)
 
@@ -731,4 +830,283 @@ def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
         delfluid=res_b[:, _B_DFLU],
         has_pair=res_a[:, _A_CNT] > 0,
         overflow=overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# row-block kernels: home blocks are RB consecutive rows of the SORTED
+# pool (not one grid column), so home-lane utilization is ~100%
+# regardless of column population and there is NO capacity cap at all —
+# every particle is processed, overflow cannot occur.  The stencil
+# candidates of a block are 3-5 contiguous sorted ranges (the x-rows
+# [cx_min-1, cx_max+1] restricted to columns [cy_min-1, cy_max+1]),
+# streamed in population-proportional sublane chunks; per-pair
+# |dcx| <= 1 & |dcy| <= 1 cell masks replace the column kernel's
+# window-construction guarantee.  Same pair math (shared body
+# builders), same accumulation order per home particle row-major over
+# the ranges — deterministic.
+
+RB = 128     # home rows per block (= lane width)
+
+
+def _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body_fn, acc0,
+                    cx_min, cx_max, cy_min, cy_max, *, gx, gy, ch):
+    """Sweep one home block's candidate ranges.  Chunks of ``ch``
+    sublane rows stream through two VMEM slots with a static-slot
+    software pipeline (wait k, compute k, prefetch k+2); chunks beyond
+    the range compute with count 0 (where-masks zero garbage)."""
+    c_lo_y = jnp.maximum(cy_min - 1, 0)
+    c_hi_y = jnp.minimum(cy_max + 1, gy - 1)
+    xr_lo = jnp.maximum(cx_min - 1, 0)
+    xr_hi = jnp.minimum(cx_max + 1, gx - 1)
+
+    def row_body(xr, acc):
+        start = col_start[xr * gy + c_lo_y]
+        nrows = col_start[xr * gy + c_hi_y + 1] - start
+        nc = (nrows + ch - 1) // ch
+
+        def copy(i, slot):
+            return pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(start + i * ch, ch)],
+                wbuf2.at[slot], sems.at[slot])
+
+        @pl.when(nc > 0)
+        def _():
+            copy(0, 0).start()
+
+        @pl.when(nc > 1)
+        def _():
+            copy(1, 1).start()
+
+        def chunk2(k, acc):
+            i0 = 2 * k
+            copy(i0, 0).wait()
+            acc = body_fn(acc, wbuf2[0],
+                          jnp.clip(nrows - i0 * ch, 0, ch), None)
+
+            @pl.when(i0 + 2 < nc)
+            def _():
+                copy(i0 + 2, 0).start()
+
+            @pl.when(i0 + 1 < nc)
+            def _():
+                copy(i0 + 1, 1).wait()
+
+            acc = body_fn(acc, wbuf2[1],
+                          jnp.clip(nrows - (i0 + 1) * ch, 0, ch), None)
+
+            @pl.when(i0 + 3 < nc)
+            def _():
+                copy(i0 + 3, 1).start()
+
+            return acc
+
+        return jax.lax.fori_loop(0, (nc + 1) // 2, chunk2, acc)
+
+    return jax.lax.fori_loop(xr_lo, xr_hi + 1, row_body, acc0)
+
+
+def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg):
+    """Load the home block, derive lane validity and the block's cell
+    bounding box (scalars via masked lane reductions)."""
+    cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(blk, RB)], home,
+                               sems.at[2])
+    cp.start()
+    cp.wait()
+    hmT = home[...].T
+    i_valid = hmT[_ALIVE, :][None, :] > 0.5
+    cs = jnp.float32(cfg.cell_size)
+    cxi = jnp.floor((hmT[_X, :][None, :] - cfg.xmin) / cs)
+    cyi = jnp.floor((hmT[_X + 1, :][None, :] - cfg.ymin) / cs)
+    big = jnp.float32(1e9)
+    cx_min = jnp.min(jnp.where(i_valid, cxi, big)).astype(jnp.int32)
+    cx_max = jnp.max(jnp.where(i_valid, cxi, -big)).astype(jnp.int32)
+    cy_min = jnp.min(jnp.where(i_valid, cyi, big)).astype(jnp.int32)
+    cy_max = jnp.max(jnp.where(i_valid, cyi, -big)).astype(jnp.int32)
+    return hmT, i_valid, cx_min, cx_max, cy_min, cy_max
+
+
+def _base_rowblock_kernel(col_start, packed_hbm, out_hbm, home, wbuf2,
+                          otile, sems, *, gx, gy, ch, cfg):
+    q = pl.program_id(0)
+    blk = q * RB
+    total = col_start[gx * gy]
+
+    @pl.when(blk < total)
+    def _():
+        hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
+            _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
+                               cfg)
+        body = _make_base_body(hmT, i_valid, cfg, xy_cells=True)
+        acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
+                              jnp.zeros((4, RB), jnp.float32),
+                              cx_min, cx_max, cy_min, cy_max,
+                              gx=gx, gy=gy, ch=ch)
+        otile[...] = jnp.concatenate(
+            [acc.T, jnp.zeros((RB, F - 4), jnp.float32)], axis=1)
+        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, RB)],
+                                    sems.at[2])
+        ocp.start()
+        ocp.wait()
+
+
+def _unidyn_rowblock_kernel_a(col_start, packed_hbm, out_hbm, home,
+                              wbuf2, otile, sems, *, gx, gy, ch, cfg,
+                              subbin_threshold=None):
+    q = pl.program_id(0)
+    blk = q * RB
+    total = col_start[gx * gy]
+
+    @pl.when(blk < total)
+    def _():
+        hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
+            _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
+                               cfg)
+        body = _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
+                                   xy_cells=True)
+        acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
+                              jnp.zeros((_A_ROWS, RB), jnp.float32),
+                              cx_min, cx_max, cy_min, cy_max,
+                              gx=gx, gy=gy, ch=ch)
+        otile[...] = jnp.concatenate(
+            [acc.T, jnp.zeros((RB, F - _A_ROWS), jnp.float32)], axis=1)
+        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, RB)],
+                                    sems.at[2])
+        ocp.start()
+        ocp.wait()
+
+
+def _unidyn_rowblock_kernel_b(col_start, packed_hbm, out_hbm, home,
+                              wbuf2, otile, sems, *, gx, gy, ch, cfg,
+                              subbin_threshold=None):
+    q = pl.program_id(0)
+    blk = q * RB
+    total = col_start[gx * gy]
+
+    @pl.when(blk < total)
+    def _():
+        hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
+            _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
+                               cfg)
+        body = _make_unidyn_b_body(hmT, i_valid, cfg, subbin_threshold,
+                                   xy_cells=True)
+        acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
+                              jnp.zeros((_B_ROWS, RB), jnp.float32),
+                              cx_min, cx_max, cy_min, cy_max,
+                              gx=gx, gy=gy, ch=ch)
+        otile[...] = jnp.concatenate(
+            [acc.T, jnp.zeros((RB, F - _B_ROWS), jnp.float32)], axis=1)
+        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, RB)],
+                                    sems.at[2])
+        ocp.start()
+        ocp.wait()
+
+
+def _run_rowblock_kernel(kern_fn, col_start, packed, n, gx, gy, ch, cfg,
+                         **kern_kw):
+    kern = functools.partial(kern_fn, gx=gx, gy=gy, ch=ch, cfg=cfg,
+                             **kern_kw)
+    nb = (n + RB - 1) // RB
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((RB, F), jnp.float32),
+            pltpu.VMEM((2, ch, F), jnp.float32),
+            pltpu.VMEM((RB, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(col_start.astype(jnp.int32), packed)
+
+
+def _rows_to_particle(out, bt, n, order):
+    """Row-block results land at sorted row indices directly; mask the
+    sentinel tail and (order mode) compose with the inverse
+    permutation."""
+    valid = bt.in_dom
+    res = out[:n]
+    if order is None:
+        return jnp.where(valid[:, None], res, 0.0)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return jnp.where(valid[inv][:, None], res[inv], 0.0)
+
+
+def base_forces_rowblock(state: ParticleState, bt: BinTable,
+                         cfg: SPHConfig, order=None, w_chunk: int = 32):
+    """Base-variant forces with the row-block kernel (full cube only).
+    Returns (sum_w, dpress, overflow==0) like base_forces_pallas."""
+    gx = gy = cfg.grid_size
+    n = state.capacity
+    ch = w_chunk or 32
+    pad = max(RB, ch)
+    if order is not None:
+        packed = _pack_base_by_order(state, order, bt, pad)
+    else:
+        packed = _pack_base_by_order(
+            state, jnp.arange(n, dtype=jnp.int32), bt, pad)
+    col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
+    out = _run_rowblock_kernel(_base_rowblock_kernel, col_start, packed,
+                               n, gx, gy, ch, cfg)
+    res = _rows_to_particle(out, bt, n, order)
+    return res[:, 0], res[:, 1:4], jnp.zeros((), jnp.int32)
+
+
+def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
+                           cfg: SPHConfig, order=None,
+                           w_chunk: int = 32, drift_fix=None,
+                           subbin_threshold=None):
+    """Unidyn forces with the row-block kernels (full cube only); same
+    result dict as unidyn_forces_pallas, overflow always 0."""
+    gx = gy = cfg.grid_size
+    n = state.capacity
+    ch = w_chunk or 32
+    pad = max(RB, ch)
+    ident = None
+    if order is None:
+        ident = jnp.arange(n, dtype=jnp.int32)
+    packed = _pack_unidyn_by_order(state, order if order is not None
+                                   else ident, bt, pad)
+    col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
+    out_a = _run_rowblock_kernel(_unidyn_rowblock_kernel_a, col_start,
+                                 packed, n, gx, gy, ch, cfg,
+                                 subbin_threshold=subbin_threshold)
+    res_a = _rows_to_particle(out_a, bt, n, order)
+    sdv = res_a[:, _A_SDV:_A_SDV + 3]
+    fdv = res_a[:, _A_FDV:_A_FDV + 3]
+    if drift_fix is not None:
+        sdv, fdv = drift_fix(sdv, fdv)
+    sdv_s = sdv if order is None else sdv[order]
+    fdv_s = fdv if order is None else fdv[order]
+    packed_b = packed.at[:n, _SDV:_SDV + 3].set(sdv_s)
+    packed_b = packed_b.at[:n, _FDV:_FDV + 3].set(fdv_s)
+    out_b = _run_rowblock_kernel(_unidyn_rowblock_kernel_b, col_start,
+                                 packed_b, n, gx, gy, ch, cfg,
+                                 subbin_threshold=subbin_threshold)
+    res_b = _rows_to_particle(out_b, bt, n, order)
+
+    dens = state.dens
+    return dict(
+        sum_w=res_a[:, _A_SUMW],
+        dpress=res_a[:, _A_DP:_A_DP + 3],
+        diffusion=res_a[:, _A_DIFF:_A_DIFF + 3],
+        vel_grad=(res_a[:, _A_VG:_A_VG + 9]
+                  / dens[:, None]).reshape(n, 3, 3),
+        stress_accel=res_a[:, _A_SA:_A_SA + 3] / (dens * dens)[:, None],
+        solid_drift=sdv,
+        fluid_drift=fdv,
+        mixture_accel=res_b[:, _B_MA:_B_MA + 3],
+        delsolid=res_b[:, _B_DSOL],
+        delfluid=res_b[:, _B_DFLU],
+        has_pair=res_a[:, _A_CNT] > 0,
+        overflow=jnp.zeros((), jnp.int32),
     )

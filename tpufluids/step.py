@@ -72,14 +72,21 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
     use_pallas = use_pallas_forces(cfg, subbin_parity)
     assert order is None or use_pallas, \
         "sort_tables mode needs the Pallas backend"
+    rowblock = grid is None and cfg.pallas_kernel == "rowblock"
     if use_pallas and cfg.variant == "base":
         from tpufluids.forces import ForceAccum
-        from tpufluids.sph_pallas import base_forces_pallas
+        from tpufluids.sph_pallas import (base_forces_pallas,
+                                          base_forces_rowblock)
         n = state.capacity
-        sw, dp, kovf = base_forces_pallas(state, bt, cfg,
-                                          b=cfg.pallas_col_cap,
-                                          w_cap=cfg.pallas_col_cap,
-                                          grid=grid, order=order)
+        if rowblock:
+            sw, dp, kovf = base_forces_rowblock(
+                state, bt, cfg, order=order,
+                w_chunk=cfg.pallas_w_chunk)
+        else:
+            sw, dp, kovf = base_forces_pallas(
+                state, bt, cfg, b=cfg.pallas_col_cap,
+                w_cap=cfg.pallas_col_cap, grid=grid, order=order,
+                w_chunk=cfg.pallas_w_chunk)
         z3 = jnp.zeros((n, 3), jnp.float32)
         z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
@@ -93,12 +100,20 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
         return acc, kovf
     if use_pallas:
         from tpufluids.forces import accum_from_pallas
-        from tpufluids.sph_pallas import unidyn_forces_pallas
-        r = unidyn_forces_pallas(
-            state, bt, cfg, b=cfg.pallas_col_cap,
-            w_cap=cfg.pallas_col_cap, grid=grid, drift_fix=drift_fix,
-            subbin_threshold=cfg.subbin_threshold if subbin_parity
-            else None, order=order)
+        from tpufluids.sph_pallas import (unidyn_forces_pallas,
+                                          unidyn_forces_rowblock)
+        st = cfg.subbin_threshold if subbin_parity else None
+        if rowblock:
+            r = unidyn_forces_rowblock(
+                state, bt, cfg, order=order,
+                w_chunk=cfg.pallas_w_chunk, drift_fix=drift_fix,
+                subbin_threshold=st)
+        else:
+            r = unidyn_forces_pallas(
+                state, bt, cfg, b=cfg.pallas_col_cap,
+                w_cap=cfg.pallas_col_cap, grid=grid,
+                drift_fix=drift_fix, subbin_threshold=st, order=order,
+                w_chunk=cfg.pallas_w_chunk)
         return accum_from_pallas(state, r, cfg), r["overflow"]
     acc = compute_forces(state, bt, cfg, subbin_parity=subbin_parity,
                          subbin_threshold=cfg.subbin_threshold,
