@@ -35,13 +35,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     n = 256
-    steps = 40
+    steps = None
     warmup = 3
     for a in sys.argv[1:]:
         if a.startswith("--size="):
             n = int(a.split("=")[1])
         if a.startswith("--steps="):
             steps = int(a.split("=")[1])
+    if steps is None:
+        # segments end in a scalar-readback fence whose tunnel round
+        # trip (25-50 ms) is inside the timed window — segments must be
+        # long enough to amortize it (verify/bench_fence_cadence.py)
+        steps = 100 if n <= 256 else 40
 
     from tpufluids.grid import stam
 
@@ -122,10 +127,10 @@ def main():
             s, m = run_python(s, scfg, 2)
             float(s.pos[0, 0])
             t0 = time.perf_counter()
-            s, m = run_python(s, scfg, 30)
+            s, m = run_python(s, scfg, 60)
             float(s.pos[0, 0])
             sph[sname + "_ms_per_step"] = round(
-                (time.perf_counter() - t0) / 30 * 1e3, 2)
+                (time.perf_counter() - t0) / 60 * 1e3, 2)
             log(f"SPH {sname}: {sph[sname + '_ms_per_step']} ms/step")
     except Exception as e:  # never fail the headline metric
         log(f"SPH secondary bench skipped: {e}")
@@ -145,10 +150,10 @@ def main():
         s1 = stam.run2d_python(s1, c1, 3, sources=sources)
         float(s1.dens[1, 1])
         t0 = time.perf_counter()
-        s1 = stam.run2d_python(s1, c1, 30, sources=sources)
+        s1 = stam.run2d_python(s1, c1, 60, sources=sources)
         float(s1.dens[1, 1])
         bl["config1_smoke2d_128_ms"] = round(
-            (time.perf_counter() - t0) / 30 * 1e3, 2)
+            (time.perf_counter() - t0) / 60 * 1e3, 2)
 
         for key, kw in (("config2_grid3d_64_ms", {}),
                         ("config4_plume3d_64_ms",
@@ -164,9 +169,9 @@ def main():
             s3, _ = stam.run3d_python(s3, c, 3)
             float(jnp.sum(s3.u))
             t0 = time.perf_counter()
-            s3, _ = stam.run3d_python(s3, c, 30)
+            s3, _ = stam.run3d_python(s3, c, 60)
             float(jnp.sum(s3.u))
-            bl[key] = round((time.perf_counter() - t0) / 30 * 1e3, 2)
+            bl[key] = round((time.perf_counter() - t0) / 60 * 1e3, 2)
         log(f"BASELINE configs 1/2/4: {bl}")
     except Exception as e:  # never fail the headline metric
         log(f"BASELINE-config secondary bench skipped: {e}")

@@ -161,7 +161,8 @@ class SPHConfig:
     # chunks of this many sublanes under a dynamic loop, so pair-tile
     # VPU work scales with the actual column population instead of the
     # worst-case cap (sph_pallas._window_loop). 0 = whole-cap tiles.
-    pallas_w_chunk: int = 32
+    # 64 measured best on v5e for both scenes (verify/bench_sph_rb_sweep).
+    pallas_w_chunk: int = 64
     # Pallas force-kernel family: "rowblock" (home block = 128
     # consecutive sorted rows — full lane utilization, NO capacity cap,
     # overflow impossible) or "column" (one (x,y) grid column per

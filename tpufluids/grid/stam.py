@@ -835,7 +835,7 @@ def run2d_python(state: GridState2D, cfg: StamConfig, n_steps: int,
     step = _jitted_step2d(cfg)
     for i in range(n_steps):
         state = step(state, sources)
-        if (i & 7) == 7:
+        if (i & 63) == 63:
             float(state.dens[1, 1])
         if snapshot_fn is not None and snapshot_every > 0                 and (i + 1) % snapshot_every == 0:
             snapshot_fn(i + 1, jax.device_get(state))
@@ -856,11 +856,14 @@ def run3d_python(state: GridState3D, cfg: StamConfig, n_steps: int):
     step = _jitted_step3d(cfg)
     for i in range(max(n_steps - 1, 0)):
         state = step(state)
-        # bound the in-flight dispatch queue: without buffer donation
-        # each queued step holds 5 live field copies, so an unbounded
-        # async queue exhausts HBM.  A tiny scalar readback is the
-        # fence (block_until_ready is unreliable on the axon runtime).
-        if (i & 7) == 7:
+        # bound the in-flight dispatch queue with an occasional scalar
+        # readback (block_until_ready is unreliable on the axon
+        # runtime).  Device buffers are allocated at execution, not
+        # enqueue, so queue depth does not multiply HBM use; but each
+        # readback costs a full tunnel round trip (measured 25-50 ms,
+        # verify/bench_fence_cadence.py) so the cadence must be sparse
+        # relative to the step time.
+        if (i & 63) == 63:
             float(state.u[1, 1, 1])
     state, res = _jitted_step3d(cfg, True)(state)
     return state, jnp.reshape(res, (1,))

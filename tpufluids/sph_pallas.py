@@ -846,7 +846,9 @@ def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
 # builders), same accumulation order per home particle row-major over
 # the ranges — deterministic.
 
-RB = 128     # home rows per block (= lane width)
+RB = 128     # default home rows per block (= lane width; rb kwarg
+             # accepts multiples of 128 — wider blocks halve the block
+             # count and candidate re-streaming at ~20% more pair slots)
 
 
 def _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body_fn, acc0,
@@ -906,10 +908,10 @@ def _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body_fn, acc0,
     return jax.lax.fori_loop(xr_lo, xr_hi + 1, row_body, acc0)
 
 
-def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg):
+def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg, rb):
     """Load the home block, derive lane validity and the block's cell
     bounding box (scalars via masked lane reductions)."""
-    cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(blk, RB)], home,
+    cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(blk, rb)], home,
                                sems.at[2])
     cp.start()
     cp.wait()
@@ -927,95 +929,95 @@ def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg):
 
 
 def _base_rowblock_kernel(col_start, packed_hbm, out_hbm, home, wbuf2,
-                          otile, sems, *, gx, gy, ch, cfg):
+                          otile, sems, *, gx, gy, ch, cfg, rb):
     q = pl.program_id(0)
-    blk = q * RB
+    blk = q * rb
     total = col_start[gx * gy]
 
     @pl.when(blk < total)
     def _():
         hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
-                               cfg)
+                               cfg, rb)
         body = _make_base_body(hmT, i_valid, cfg, xy_cells=True)
         acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
-                              jnp.zeros((4, RB), jnp.float32),
+                              jnp.zeros((4, rb), jnp.float32),
                               cx_min, cx_max, cy_min, cy_max,
                               gx=gx, gy=gy, ch=ch)
         otile[...] = jnp.concatenate(
-            [acc.T, jnp.zeros((RB, F - 4), jnp.float32)], axis=1)
-        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, RB)],
+            [acc.T, jnp.zeros((rb, F - 4), jnp.float32)], axis=1)
+        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, rb)],
                                     sems.at[2])
         ocp.start()
         ocp.wait()
 
 
 def _unidyn_rowblock_kernel_a(col_start, packed_hbm, out_hbm, home,
-                              wbuf2, otile, sems, *, gx, gy, ch, cfg,
+                              wbuf2, otile, sems, *, gx, gy, ch, cfg, rb,
                               subbin_threshold=None):
     q = pl.program_id(0)
-    blk = q * RB
+    blk = q * rb
     total = col_start[gx * gy]
 
     @pl.when(blk < total)
     def _():
         hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
-                               cfg)
+                               cfg, rb)
         body = _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
                                    xy_cells=True)
         acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
-                              jnp.zeros((_A_ROWS, RB), jnp.float32),
+                              jnp.zeros((_A_ROWS, rb), jnp.float32),
                               cx_min, cx_max, cy_min, cy_max,
                               gx=gx, gy=gy, ch=ch)
         otile[...] = jnp.concatenate(
-            [acc.T, jnp.zeros((RB, F - _A_ROWS), jnp.float32)], axis=1)
-        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, RB)],
+            [acc.T, jnp.zeros((rb, F - _A_ROWS), jnp.float32)], axis=1)
+        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, rb)],
                                     sems.at[2])
         ocp.start()
         ocp.wait()
 
 
 def _unidyn_rowblock_kernel_b(col_start, packed_hbm, out_hbm, home,
-                              wbuf2, otile, sems, *, gx, gy, ch, cfg,
+                              wbuf2, otile, sems, *, gx, gy, ch, cfg, rb,
                               subbin_threshold=None):
     q = pl.program_id(0)
-    blk = q * RB
+    blk = q * rb
     total = col_start[gx * gy]
 
     @pl.when(blk < total)
     def _():
         hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
-                               cfg)
+                               cfg, rb)
         body = _make_unidyn_b_body(hmT, i_valid, cfg, subbin_threshold,
                                    xy_cells=True)
         acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
-                              jnp.zeros((_B_ROWS, RB), jnp.float32),
+                              jnp.zeros((_B_ROWS, rb), jnp.float32),
                               cx_min, cx_max, cy_min, cy_max,
                               gx=gx, gy=gy, ch=ch)
         otile[...] = jnp.concatenate(
-            [acc.T, jnp.zeros((RB, F - _B_ROWS), jnp.float32)], axis=1)
-        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, RB)],
+            [acc.T, jnp.zeros((rb, F - _B_ROWS), jnp.float32)], axis=1)
+        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, rb)],
                                     sems.at[2])
         ocp.start()
         ocp.wait()
 
 
 def _run_rowblock_kernel(kern_fn, col_start, packed, n, gx, gy, ch, cfg,
-                         **kern_kw):
+                         rb=RB, **kern_kw):
     kern = functools.partial(kern_fn, gx=gx, gy=gy, ch=ch, cfg=cfg,
-                             **kern_kw)
-    nb = (n + RB - 1) // RB
+                             rb=rb, **kern_kw)
+    nb = (n + rb - 1) // rb
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((RB, F), jnp.float32),
+            pltpu.VMEM((rb, F), jnp.float32),
             pltpu.VMEM((2, ch, F), jnp.float32),
-            pltpu.VMEM((RB, F), jnp.float32),
+            pltpu.VMEM((rb, F), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -1042,13 +1044,14 @@ def _rows_to_particle(out, bt, n, order):
 
 
 def base_forces_rowblock(state: ParticleState, bt: BinTable,
-                         cfg: SPHConfig, order=None, w_chunk: int = 32):
+                         cfg: SPHConfig, order=None, w_chunk: int = 32,
+                         rb: int = RB):
     """Base-variant forces with the row-block kernel (full cube only).
     Returns (sum_w, dpress, overflow==0) like base_forces_pallas."""
     gx = gy = cfg.grid_size
     n = state.capacity
     ch = w_chunk or 32
-    pad = max(RB, ch)
+    pad = max(rb, ch)
     if order is not None:
         packed = _pack_base_by_order(state, order, bt, pad)
     else:
@@ -1056,7 +1059,7 @@ def base_forces_rowblock(state: ParticleState, bt: BinTable,
             state, jnp.arange(n, dtype=jnp.int32), bt, pad)
     col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
     out = _run_rowblock_kernel(_base_rowblock_kernel, col_start, packed,
-                               n, gx, gy, ch, cfg)
+                               n, gx, gy, ch, cfg, rb=rb)
     res = _rows_to_particle(out, bt, n, order)
     return res[:, 0], res[:, 1:4], jnp.zeros((), jnp.int32)
 
@@ -1064,13 +1067,13 @@ def base_forces_rowblock(state: ParticleState, bt: BinTable,
 def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
                            cfg: SPHConfig, order=None,
                            w_chunk: int = 32, drift_fix=None,
-                           subbin_threshold=None):
+                           subbin_threshold=None, rb: int = RB):
     """Unidyn forces with the row-block kernels (full cube only); same
     result dict as unidyn_forces_pallas, overflow always 0."""
     gx = gy = cfg.grid_size
     n = state.capacity
     ch = w_chunk or 32
-    pad = max(RB, ch)
+    pad = max(rb, ch)
     ident = None
     if order is None:
         ident = jnp.arange(n, dtype=jnp.int32)
@@ -1078,7 +1081,7 @@ def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
                                    else ident, bt, pad)
     col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
     out_a = _run_rowblock_kernel(_unidyn_rowblock_kernel_a, col_start,
-                                 packed, n, gx, gy, ch, cfg,
+                                 packed, n, gx, gy, ch, cfg, rb=rb,
                                  subbin_threshold=subbin_threshold)
     res_a = _rows_to_particle(out_a, bt, n, order)
     sdv = res_a[:, _A_SDV:_A_SDV + 3]
@@ -1090,7 +1093,7 @@ def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
     packed_b = packed.at[:n, _SDV:_SDV + 3].set(sdv_s)
     packed_b = packed_b.at[:n, _FDV:_FDV + 3].set(fdv_s)
     out_b = _run_rowblock_kernel(_unidyn_rowblock_kernel_b, col_start,
-                                 packed_b, n, gx, gy, ch, cfg,
+                                 packed_b, n, gx, gy, ch, cfg, rb=rb,
                                  subbin_threshold=subbin_threshold)
     res_b = _rows_to_particle(out_b, bt, n, order)
 

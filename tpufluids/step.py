@@ -180,17 +180,25 @@ def _jitted_sph_step(state: ParticleState, cfg: SPHConfig,
     return sph_step(state, cfg, subbin_parity)
 
 
+FENCE_EVERY = 256   # scalar-readback cadence in the python drivers: a
+# readback through the axon tunnel costs a ~10-25 ms round trip, so at
+# 1-10 ms step times a tight cadence dominates wall time (measured:
+# base_dam 7.4 ms/step fenced every 8 vs 1.3 unfenced,
+# verify/bench_fence_cadence.py); 256 bounds the async dispatch queue
+# at ~0.1 ms/step amortized cost.
+
+
 def run_python(state: ParticleState, cfg: SPHConfig, n_steps: int,
                subbin_parity=None):
     """Python-driven step loop (one jitted dispatch per step, fenced
-    every 8 steps).  Preferred over run_chunk on runtimes where custom
-    calls inside lax.scan pay a per-call host round trip (the axon TPU
-    tunnel) — which matters once the Pallas force kernel is enabled.
-    Returns (state, last-step metrics)."""
+    every FENCE_EVERY steps).  Preferred over run_chunk on runtimes
+    where custom calls inside lax.scan pay a per-call host round trip
+    (the axon TPU tunnel) — which matters once the Pallas force kernel
+    is enabled.  Returns (state, last-step metrics)."""
     metrics = None
     for i in range(n_steps):
         state, metrics = _jitted_sph_step(state, cfg, subbin_parity)
-        if (i & 7) == 7:
+        if (i + 1) % FENCE_EVERY == 0:
             float(state.pos[0, 0])
     return state, metrics
 
@@ -219,7 +227,7 @@ def run(state: ParticleState, cfg: SPHConfig, n_steps: int,
         for i in range(n_steps):
             state, m = _jitted_sph_step(state, cfg, subbin_parity)
             all_m.append(m)
-            if (i & 7) == 7:
+            if (i + 1) % FENCE_EVERY == 0:
                 float(state.pos[0, 0])
             if (snapshot_fn is not None and snapshot_every > 0
                     and (i + 1) % snapshot_every == 0):
