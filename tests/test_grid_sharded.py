@@ -201,3 +201,40 @@ def test_sharded_pallas_rejects_unsupported():
     cfg = stam.StamConfig(n=16, jacobi_iters=8, red_black=False)
     with pytest.raises(ValueError):
         grid_sharded.make_sharded_step(mesh, cfg, backend="pallas")
+
+
+def test_sharded_pallas_tiny_slab_plan():
+    """c_local=2 slabs must pick a halo that fits in one slab
+    (rb_shard_plan halo <= c_local; review finding r2): the 8-device
+    16^3 pallas step hit a trace-time deep-halo shape mismatch.
+
+    Interpret-mode pallas deadlocks beyond 4 virtual devices (its
+    io_callback barrier), so this traces the step abstractly — the
+    original failure was raised during tracing."""
+    from tpufluids.grid.pallas_kernels import rb_shard_plan
+
+    # fuse 4/2 give halo 8/4 > c_local=2 and must be skipped
+    assert rb_shard_plan(2, 18, 18, 8)[1] == 1
+    assert rb_shard_plan(2, 18, 18, 20)[1] == 1
+
+    n = 16
+    cfg = stam.StamConfig(n=n, dt=0.02, jacobi_iters=8, red_black=True,
+                          advect_mode="stencil", solver_backend="xla")
+    dense = seeded3d(cfg, seed=5)
+    mesh = make_mesh(8)   # c_local = 2
+    step = grid_sharded.make_sharded_step(mesh, cfg, n_steps=1,
+                                          backend="pallas")
+    sh = grid_sharded.shard_state(grid_sharded.to_sharded_layout(dense),
+                                  mesh)
+    out, res = jax.eval_shape(step, sh)
+    assert res.shape == ()
+
+
+def test_sharded_pallas_rejects_odd_slab():
+    """Explicit backend='pallas' with an odd per-device slab must raise
+    instead of silently running the XLA step (review finding r2)."""
+    mesh = make_mesh(8)
+    cfg = stam.StamConfig(n=24, jacobi_iters=8, red_black=True,
+                          advect_mode="stencil")   # c_local = 3
+    with pytest.raises(ValueError, match="even per-device slab"):
+        grid_sharded.make_sharded_step(mesh, cfg, backend="pallas")

@@ -916,25 +916,15 @@ def _rb_face_fix(vA, vB, is_first, is_last, r0, *, p, sx, sy, y_hi):
     _rb_face_fix_y(vA, vB, r0, sy=sy, y_hi=y_hi)
 
 
-def _rb_ghost_fix_x_dyn(vA, vB, rel, apply, sx):
+def _rb_ghost_fix_x_dyn(vA, vB, rel, apply, sx, src_off):
     """Refresh the packed x-ghost row at dynamic window-relative row
-    ``rel`` from the adjacent interior row rel+1 (phase offset flips),
-    gated by ``apply`` — the sharded solver's x-face fix, whose ghost
-    rows sit INSIDE the padded slab (absolute rows halo-1 / n_full-halo)
-    rather than at the array edge."""
-    a1 = vA[pl.ds(rel + 1, 1)]
-    b1 = vB[pl.ds(rel + 1, 1)]
-    ca = vA[pl.ds(rel, 1)]
-    cb = vB[pl.ds(rel, 1)]
-    vA[pl.ds(rel, 1)] = jnp.where(apply, sx * b1, ca)
-    vB[pl.ds(rel, 1)] = jnp.where(apply, sx * a1, cb)
-
-
-def _rb_ghost_fix_x_dyn_hi(vA, vB, rel, apply, sx):
-    """High-side twin of _rb_ghost_fix_x_dyn: ghost at ``rel`` copies
-    from the adjacent interior row rel-1."""
-    a1 = vA[pl.ds(rel - 1, 1)]
-    b1 = vB[pl.ds(rel - 1, 1)]
+    ``rel`` from the adjacent interior row rel+src_off (+1 at the low
+    domain face, -1 at the high one; the phase offset flips), gated by
+    ``apply`` — the sharded solver's x-face fix, whose ghost rows sit
+    INSIDE the padded slab (absolute rows halo-1 / n_full-halo) rather
+    than at the array edge."""
+    a1 = vA[pl.ds(rel + src_off, 1)]
+    b1 = vB[pl.ds(rel + src_off, 1)]
     ca = vA[pl.ds(rel, 1)]
     cb = vB[pl.ds(rel, 1)]
     vA[pl.ds(rel, 1)] = jnp.where(apply, sx * b1, ca)
@@ -1321,8 +1311,8 @@ def _rb_sweeps_shard(vA, vB, vA0, vB0, wlo, face_lo, face_hi, *, a,
         else:
             _rb_half_sweep(vB, vA, b0v, ~r0w, zedges, a=a, c_inv=c_inv,
                            sz=sz)
-        _rb_ghost_fix_x_dyn(vA, vB, rel_lo, apply_lo, sx)
-        _rb_ghost_fix_x_dyn_hi(vA, vB, rel_hi, apply_hi, sx)
+        _rb_ghost_fix_x_dyn(vA, vB, rel_lo, apply_lo, sx, +1)
+        _rb_ghost_fix_x_dyn(vA, vB, rel_hi, apply_hi, sx, -1)
         _rb_face_fix_y(vA, vB, r0w, sy=sy, y_hi=y_hi)
 
 
@@ -1393,6 +1383,11 @@ def rb_shard_plan(c_local, y_true, z_true, iters):
         if iters % fuse:
             continue
         halo = 2 * fuse
+        # the deep-halo pad sources halo rows from the neighbor's
+        # interior (lin_solve3d_rb_shard pad_pair) — a slab can only
+        # donate c_local rows, so halo must fit in one slab
+        if halo > c_local:
+            continue
         if c_local + 2 * halo < 8 + 2 * halo:
             continue
         tx = _fit_tx(24, 4, halo, c_local + 2 * halo, yhp, zp,
@@ -1400,14 +1395,17 @@ def rb_shard_plan(c_local, y_true, z_true, iters):
         if tx >= 8:
             return tx, fuse, True
     for fuse in (2, 1):
-        if iters % fuse:
+        if iters % fuse or 2 * fuse > c_local:
             continue
         halo = 2 * fuse
         tx = _fit_tx(24, 4, halo, c_local + 2 * halo, yhp, zp, slots=1,
                      budget=70 * 1024 * 1024)
         if tx >= 1:
             return tx, fuse, False
-    raise AssertionError("unreachable: fuse=1 always divides iters")
+    raise ValueError(
+        f"rb_shard_plan: slab of {c_local} x rows cannot host the "
+        "minimal halo=2 (needs c_local >= 2 even rows); use the XLA "
+        "sharded backend for this mesh/size")
 
 
 def lin_solve3d_rb_shard(bb: int, x, x0, a: float, c: float, iters: int,

@@ -475,17 +475,20 @@ def make_sharded_step(mesh: Mesh, cfg: StamConfig, n_steps: int = 1,
         raise ValueError(
             f"sharded step supports projection in ('jacobi', 'dct'), "
             f"got {cfg.projection!r}")
-    if backend == "pallas" and not _pallas_sharded_supported(cfg):
+    c_local = n // n_dev
+    # packed checkerboard parity needs even slabs; the deep-halo pad
+    # needs at least 2 donatable rows per slab
+    slab_ok = c_local % 2 == 0 and c_local >= 2
+    if backend == "pallas" and not (_pallas_sharded_supported(cfg)
+                                    and slab_ok):
         raise ValueError(
             "backend='pallas' needs projection='jacobi', red_black, "
-            "advect_mode='stencil', float32 solver, n+2 >= 16")
+            "advect_mode='stencil', float32 solver, n+2 >= 16, and an "
+            f"even per-device slab (n/n_dev = {c_local})")
     use_pallas = (backend == "pallas"
-                  or (backend == "auto"
+                  or (backend == "auto" and slab_ok
                       and _pallas_sharded_supported(cfg)
                       and jax.default_backend() == "tpu"))
-    c_local = n // n_dev
-    if use_pallas and c_local % 2:
-        use_pallas = False   # packed parity needs even slabs
     spec = P(AXIS, None, None)
 
     plan = None
