@@ -38,6 +38,12 @@ CANDS = [
     ("tx=7 fuse=4", (7, 4, True)),
     ("tx=6 fuse=4", (6, 4, True)),
     ("tx=23 fuse=1", (23, 1, True)),
+    # single-slot windows fit ~2x the planes: deep fuse without the
+    # double-buffer cost, trading DMA/compute overlap for less
+    # redundant window traffic (0.75 vs 1.5 HBM passes/iter)
+    ("tx=16 fuse=4 serial", (16, 4, False)),
+    ("tx=24 fuse=4 serial", (24, 4, False)),
+    ("tx=16 fuse=2 serial", (16, 2, False)),
 ]
 
 fns, ref = {}, None
