@@ -156,6 +156,52 @@ def test_packed_rb_solver_matches_dense_interpret(rand3d, b, fuse,
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("b", [0, 3])
+@pytest.mark.parametrize("ty,fuse,pipeline", [(4, 1, True), (8, 2, True),
+                                              (4, 2, False)])
+def test_packed_rb_solver_ytiled_interpret(b, ty, fuse, pipeline):
+    """(x, packed-y)-tiled windows (_stream_tiles2d + dynamic y-face
+    fix) must stay bit-compatible with the dense red-black solver.
+    n=16 (16 packed rows) so the fuse=2 window (ty + 8 rows) fits."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+    n = 16
+    x = jax.random.normal(jax.random.PRNGKey(3), (n + 2,) * 3,
+                          jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (n + 2,) * 3,
+                           jnp.float32)
+    x = stam.set_bnd3d(b, x)
+    ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve3d_rb_packed(b, x, x0, 1.0, 6.0, 4, tx=4,
+                                    fuse=fuse, pipeline=pipeline, ty=ty)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_rb_solver_ytiled_even_face_interpret():
+    """Odd n -> even y_hi: the hi-face fix sources the row BELOW the
+    face (the other parity branch of _rb_face_fix_y_dyn), and
+    non-dividing y-tiles exercise the clamped last window."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+    n = 15
+    x = jax.random.normal(jax.random.PRNGKey(3), (n + 2,) * 3,
+                          jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (n + 2,) * 3,
+                           jnp.float32)
+    x = stam.set_bnd3d(0, x)
+    ref = stam.lin_solve3d(0, x, x0, 1.0, 6.0, 4, red_black=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve3d_rb_packed(0, x, x0, 1.0, 6.0, 4, tx=4, fuse=2,
+                                    ty=3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # a window the face fix cannot serve must be rejected, not wrong:
+    # the last window would start AT the even face row h, whose source
+    # row h-1 lies outside
+    with pytest.raises(ValueError, match="y tile window"):
+        lin_solve3d_rb_packed(0, x, x0, 1.0, 6.0, 4, tx=4, fuse=1, ty=4)
+
+
 def test_packed_rb_solver_single_tile_interpret(rand3d):
     """Whole-array window: the tile is both first and last."""
     from jax.experimental.pallas import tpu as pltpu

@@ -282,6 +282,109 @@ def _stream_scratch(n_in, n_out, p, y, z, dtype=jnp.float32, slots=2):
             pltpu.SemaphoreType.DMA((slots, max(n_out, 1)))]
 
 
+def _stream_tiles2d(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
+                    n_full, tx, halo, ny, ty, hy, compute,
+                    pipeline=True):
+    """(x, packed-y)-tiled variant of _stream_tiles over
+    ``grid=(ntx, nty)``: windows carry a halo in BOTH the x (plane) and
+    packed-y (sublane) axes, for kernels whose full-y window would
+    collapse the x tile under the VMEM budget (512^3 and beyond — the
+    y*z plane footprint grows quadratically with n while the budget is
+    fixed).  ``compute(refs, wlo, wylo)`` gets both window origins.
+
+    The y-halo windows re-read ty+2*hy rows per ty computed and the
+    compute body recomputes the y-halo cone, so the plan must weigh
+    (tx + 2*halo)/tx * (ty + 2*hy)/ty total redundancy against the
+    full-y alternative's (tx' + 2*halo)/tx' at the smaller tx'."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    ntx = pl.num_programs(0)
+    nty = pl.num_programs(1)
+    t = ti * nty + tj
+    nt = ntx * nty
+    n_in = len(in_hbm)
+    p = tx + 2 * halo
+    py = ty + 2 * hy
+
+    def tile_lo(tt):
+        return jnp.minimum((tt // nty) * tx, n_full - tx)
+
+    def tile_wlo(tt):
+        return jnp.clip(tile_lo(tt) - halo, 0, n_full - p)
+
+    def tile_lo_y(tt):
+        return jnp.minimum((tt % nty) * ty, ny - ty)
+
+    def tile_wlo_y(tt):
+        return jnp.clip(tile_lo_y(tt) - hy, 0, ny - py)
+
+    def in_copies(tt, slot):
+        w = tile_wlo(tt)
+        wy = tile_wlo_y(tt)
+        return [pltpu.make_async_copy(
+                    src.at[pl.ds(w, p), pl.ds(wy, py)],
+                    vbuf.at[slot, i], in_sems.at[slot, i])
+                for i, src in enumerate(in_hbm)]
+
+    def out_copies(tt, slot):
+        lo, w = tile_lo(tt), tile_wlo(tt)
+        lo_y, wy = tile_lo_y(tt), tile_wlo_y(tt)
+        return [pltpu.make_async_copy(
+                    vbuf.at[slot, i, pl.ds(lo - w, tx),
+                            pl.ds(lo_y - wy, ty)],
+                    dst.at[pl.ds(lo, tx), pl.ds(lo_y, ty)],
+                    out_sems.at[slot, j])
+                for j, (i, dst) in enumerate(out_pairs)]
+
+    if not pipeline:
+        for cp in in_copies(t, 0):
+            cp.start()
+        for cp in in_copies(t, 0):
+            cp.wait()
+        compute([vbuf.at[0, i] for i in range(n_in)], tile_wlo(t),
+                tile_wlo_y(t))
+        for cp in out_copies(t, 0):
+            cp.start()
+        for cp in out_copies(t, 0):
+            cp.wait()
+        return
+
+    s = jax.lax.rem(t, 2)
+    s2 = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t == 0)
+    def _():
+        for cp in in_copies(0, 0):
+            cp.start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        @pl.when(t > 0)
+        def _():
+            for cp in out_copies(t - 1, s2):
+                cp.wait()
+        for cp in in_copies(t + 1, s2):
+            cp.start()
+
+    for cp in in_copies(t, s):
+        cp.wait()
+
+    compute([vbuf.at[s, i] for i in range(n_in)], tile_wlo(t),
+            tile_wlo_y(t))
+
+    for cp in out_copies(t, s):
+        cp.start()
+
+    @pl.when(t == nt - 1)
+    def _():
+        @pl.when(t > 0)
+        def _():
+            for cp in out_copies(t - 1, s2):
+                cp.wait()
+        for cp in out_copies(t, s):
+            cp.wait()
+
+
 def _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, *, slots=2,
             dtype_size=4, budget=64 * 1024 * 1024):
     """Largest tile size <= tx_want whose double-buffered windows fit
@@ -962,6 +1065,75 @@ def _rb_face_fix_y(vA, vB, r0, *, sy, y_hi):
         vB[:, h:h + 1, :] = jnp.where(r0y, sy * ah, bh)
 
 
+def _rb_face_fix_y_dyn(vA, vB, r0y, wylo, py, *, sy, y_hi):
+    """_rb_face_fix_y for a packed-y WINDOW [wylo, wylo + py): the
+    domain y-faces sit at dynamic window-relative rows.  The lo face is
+    global packed row 0 (window row 0 iff wylo == 0, the clamped first
+    y-tile); the hi face is global packed row h in the phase holding
+    y_hi's parity, at window row h - wylo when the window contains it.
+    Same per-row formulas as the static fix, gated by ``apply``."""
+    apply_lo = wylo == 0
+    a0, b0 = vA[:, 0:1, :], vB[:, 0:1, :]
+    vA[:, 0:1, :] = jnp.where(apply_lo & r0y, sy * b0, a0)
+    vB[:, 0:1, :] = jnp.where(apply_lo, jnp.where(r0y, b0, sy * a0), b0)
+    if y_hi % 2 == 0:
+        h = y_hi // 2
+        rel = h - wylo
+        apply_hi = (rel >= 1) & (rel <= py - 1)
+        relc = jnp.clip(rel, 1, py - 1)
+        ah = vA[:, pl.ds(relc, 1), :]
+        bh = vB[:, pl.ds(relc, 1), :]
+        asrc = vA[:, pl.ds(relc - 1, 1), :]
+        bsrc = vB[:, pl.ds(relc - 1, 1), :]
+        vA[:, pl.ds(relc, 1), :] = jnp.where(apply_hi & r0y, sy * bsrc,
+                                             ah)
+        vB[:, pl.ds(relc, 1), :] = jnp.where(
+            apply_hi, jnp.where(r0y, bh, sy * asrc), bh)
+    else:
+        h = (y_hi - 1) // 2
+        rel = h - wylo
+        apply_hi = (rel >= 0) & (rel <= py - 1)
+        relc = jnp.clip(rel, 0, py - 1)
+        ah = vA[:, pl.ds(relc, 1), :]
+        bh = vB[:, pl.ds(relc, 1), :]
+        vA[:, pl.ds(relc, 1), :] = jnp.where(
+            apply_hi, jnp.where(r0y, ah, sy * bh), ah)
+        vB[:, pl.ds(relc, 1), :] = jnp.where(
+            apply_hi, jnp.where(r0y, sy * ah, bh), bh)
+
+
+def _rb_sweeps_yt(vA, vB, vA0, vB0, wlo, wylo, *, a, c_inv, sx, sy, sz,
+                  n_full, y_hi, z_hi, p, py, n_sweeps):
+    """_rb_sweeps on an (x, packed-y) window: x faces are static window
+    rows (first/last x-tile only), y faces go through the dynamic-row
+    fix.  The packed-y halo must be >= n_sweeps rows: each half-sweep
+    reads the other phase at packed-y shifts {-1, 0, +1}, so window
+    y-edge garbage advances one row per half-sweep — the same cone
+    argument as the x halo."""
+    r0w = _rb_r_mask(vA.shape, wlo)
+    r0y = r0w[:, 0:1, :]
+    zedges = _lane_edges(vA.shape, z_hi)
+    is_first = wlo == 0
+    is_last = wlo == n_full - p
+    a0v = vA0[...]
+    b0v = vB0[...]
+    for sw in range(n_sweeps):
+        if sw % 2 == 0:
+            _rb_half_sweep(vA, vB, a0v, r0w, zedges, a=a, c_inv=c_inv,
+                           sz=sz)
+        else:
+            _rb_half_sweep(vB, vA, b0v, ~r0w, zedges, a=a, c_inv=c_inv,
+                           sz=sz)
+        # x faces (dense order: x then y), as in _rb_face_fix
+        a1, b1 = vA[1:2], vB[1:2]
+        vA[0:1] = jnp.where(is_first, sx * b1, vA[0:1])
+        vB[0:1] = jnp.where(is_first, sx * a1, vB[0:1])
+        am, bm = vA[p - 2:p - 1], vB[p - 2:p - 1]
+        vA[p - 1:p] = jnp.where(is_last, sx * bm, vA[p - 1:p])
+        vB[p - 1:p] = jnp.where(is_last, sx * am, vB[p - 1:p])
+        _rb_face_fix_y_dyn(vA, vB, r0y, wylo, py, sy=sy, y_hi=y_hi)
+
+
 def _rb_half_sweep(dst, src, dst0, r_sel, zedges, *, a, c_inv, sz):
     """Update phase ``dst`` from ``src`` (the other phase).  ``r_sel``
     selects the y-tap shift direction (True rows take shift(-1)/no-op,
@@ -1099,13 +1271,39 @@ def _solve_rb_packed_pipe_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
                   n_full=n_full, tx=tx, halo=halo, compute=compute)
 
 
+def _solve_rb_packed_yt_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
+                               oB_hbm, vbuf, in_sems, out_sems, *,
+                               a, c_inv, sx, sy, sz, n_full, y_hi, z_hi,
+                               tx, ty, halo, hy, n_sweeps, pipeline):
+    """(x, packed-y)-tiled packed solver: windows of
+    (tx + 2*halo) planes x (ty + 2*hy) sublane rows streamed by
+    _stream_tiles2d, sweeping with the dynamic-row y-face fix.  For
+    grids whose full-y window collapses tx under the VMEM budget
+    (512^3+)."""
+    p = tx + 2 * halo
+    py = ty + 2 * hy
+    ny = xA_hbm.shape[1]
+
+    def compute(refs, wlo, wylo):
+        vA, vB, vA0, vB0 = refs
+        _rb_sweeps_yt(vA, vB, vA0, vB0, wlo, wylo, a=a, c_inv=c_inv,
+                      sx=sx, sy=sy, sz=sz, n_full=n_full, y_hi=y_hi,
+                      z_hi=z_hi, p=p, py=py, n_sweeps=n_sweeps)
+
+    _stream_tiles2d((xA_hbm, xB_hbm, a0_hbm, b0_hbm),
+                    ((0, oA_hbm), (1, oB_hbm)), vbuf, in_sems, out_sems,
+                    n_full=n_full, tx=tx, halo=halo, ny=ny, ty=ty, hy=hy,
+                    compute=compute, pipeline=pipeline)
+
+
 @functools.partial(jax.jit, static_argnames=("b", "a", "c", "iters",
                                               "tx", "fuse", "pipeline",
-                                              "x_zero", "true_extents"))
+                                              "x_zero", "true_extents",
+                                              "ty"))
 def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
                           tx: int = 24, fuse: int = 2,
                           pipeline: bool = True, x_zero: bool = False,
-                          true_extents=None):
+                          true_extents=None, ty=None):
     """Red-black solver on the packed checkerboard layout — each
     half-sweep computes only its active cells (~1.9x less VPU work than
     the masked formulation).  Bit-compatible with
@@ -1113,7 +1311,10 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
 
     ``x_zero=True`` asserts the initial guess is all zeros (the
     pressure projection's) and skips packing it — two full-field
-    select passes.  ``true_extents``: z-ghostless in/out (_pad_setup)."""
+    select passes.  ``true_extents``: z-ghostless in/out (_pad_setup).
+    ``ty``: packed-y tile rows — tiles the window along y too
+    (_stream_tiles2d), for grids whose y*z plane collapses the full-y
+    x tile under the VMEM budget (512^3+); None keeps full-y windows."""
     standalone = true_extents is None
     if standalone:
         n_full, y_true, z_true = x.shape
@@ -1165,19 +1366,46 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
     if p > n_full:
         raise ValueError(f"window {p} exceeds array extent {n_full}")
 
-    kw = dict(a=a, c_inv=1.0 / c, sx=sx, sy=sy, sz=sz, n_full=n_full,
-              y_hi=y_true - 1, z_hi=z_true - 3, tx=tx, halo=halo,
-              n_sweeps=n_sweeps)
-    if pipeline:
-        kern = functools.partial(_solve_rb_packed_pipe_kernel, **kw)
-        scratch = _stream_scratch(4, 2, p, A.shape[1], A.shape[2])
+    y_hi = y_true - 1
+    if ty is not None:
+        ny = A.shape[1]
+        hy = n_sweeps
+        py = ty + 2 * hy
+        # the LAST window starts at ny - py; the hi-face fix needs the
+        # face row h reachable there (even parity also needs its source
+        # row h-1 inside the window)
+        if y_hi % 2 == 0:
+            h_face, h_min = y_hi // 2, 1
+        else:
+            h_face, h_min = (y_hi - 1) // 2, 0
+        if py > ny or ny - py > h_face - h_min:
+            raise ValueError(
+                f"y tile window {py} incompatible with {ny} packed rows "
+                f"(face row {h_face})")
+        kern = functools.partial(
+            _solve_rb_packed_yt_kernel, a=a, c_inv=1.0 / c, sx=sx, sy=sy,
+            sz=sz, n_full=n_full, y_hi=y_hi, z_hi=z_true - 3, tx=tx,
+            ty=ty, halo=halo, hy=hy, n_sweeps=n_sweeps,
+            pipeline=pipeline)
+        grid = (pl.cdiv(n_full, tx), pl.cdiv(ny, ty))
+        scratch = _stream_scratch(4, 2, p, py, A.shape[2],
+                                  slots=2 if pipeline else 1)
     else:
-        kern = functools.partial(_solve_rb_packed_kernel, **kw)
-        scratch = [pltpu.VMEM((p, A.shape[1], A.shape[2]), jnp.float32)
-                   for _ in range(4)] + [pltpu.SemaphoreType.DMA((4,))]
+        kw = dict(a=a, c_inv=1.0 / c, sx=sx, sy=sy, sz=sz, n_full=n_full,
+                  y_hi=y_hi, z_hi=z_true - 3, tx=tx, halo=halo,
+                  n_sweeps=n_sweeps)
+        grid = (pl.cdiv(n_full, tx),)
+        if pipeline:
+            kern = functools.partial(_solve_rb_packed_pipe_kernel, **kw)
+            scratch = _stream_scratch(4, 2, p, A.shape[1], A.shape[2])
+        else:
+            kern = functools.partial(_solve_rb_packed_kernel, **kw)
+            scratch = [pltpu.VMEM((p, A.shape[1], A.shape[2]),
+                                  jnp.float32)
+                       for _ in range(4)] + [pltpu.SemaphoreType.DMA((4,))]
     call = pl.pallas_call(
         kern,
-        grid=(pl.cdiv(n_full, tx),),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 2),
         out_shape=tuple(jax.ShapeDtypeStruct(A.shape, jnp.float32)

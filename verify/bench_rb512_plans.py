@@ -44,12 +44,21 @@ CANDS = [
     ("tx=16 fuse=4 serial", (16, 4, False)),
     ("tx=24 fuse=4 serial", (24, 4, False)),
     ("tx=16 fuse=2 serial", (16, 2, False)),
+    # (x, packed-y)-tiled windows: big tx at small plane footprint.
+    # fuse=2/ty=128: VPU redundancy (23+8)/23 * 136/128 = 1.43 vs the
+    # auto plan's 2.0; fuse=4/ty=128: HBM 0.88 passes/iter vs 1.5
+    ("tx=23 fuse=2 ty=128", (23, 2, True, 128)),
+    ("tx=24 fuse=1 ty=128", (24, 1, True, 128)),
+    ("tx=13 fuse=4 ty=128", (13, 4, True, 128)),
+    ("tx=23 fuse=2 ty=64", (23, 2, True, 64)),
 ]
 
 fns, ref = {}, None
 for name, plan in CANDS:
     kw = {} if plan is None else dict(tx=plan[0], fuse=plan[1],
                                       pipeline=plan[2])
+    if plan is not None and len(plan) > 3:
+        kw["ty"] = plan[3]
     try:
         f = jax.jit(lambda x0, kw=kw: pk.lin_solve3d_rb_packed(
             0, z, x0, 1.0, 6.0, 20, x_zero=True, **kw))
