@@ -140,6 +140,36 @@ def test_forcing_pallas_matches_dense_interpret():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)
 
 
+@pytest.mark.parametrize("ty", [4, 6])
+def test_forcing_pallas_ytiled_interpret(ty):
+    """y-tiled forcing windows (hy=2 halo, dynamic y-face rows) must be
+    bit-compatible with the full-y pallas path; ty=6 leaves a clamped
+    last window."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import forcing3d_pallas
+    rng = np.random.default_rng(6)
+    n = 12
+    cfg = stam.StamConfig(n=n, dt=0.02, vorticity_eps=3.0,
+                          buoyancy_alpha=0.05, buoyancy_beta=1.0,
+                          ambient_temp=0.2)
+    shape = (n + 2,) * 3
+    u = stam.set_bnd3d(1, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    v = stam.set_bnd3d(2, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    w = stam.set_bnd3d(3, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    d = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+    args = (u, v, w, d, t, float(cfg.dt), 1.0 / n, cfg.vorticity_eps,
+            cfg.buoyancy_alpha, cfg.buoyancy_beta, cfg.ambient_temp)
+    with pltpu.force_tpu_interpret_mode():
+        ref = forcing3d_pallas(*args, tx=4)
+        got = forcing3d_pallas(*args, tx=4, ty=ty)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 @pytest.mark.parametrize("b", [0, 1, 3])
 @pytest.mark.parametrize("fuse,pipeline", [(1, True), (2, True),
                                            (2, False)])

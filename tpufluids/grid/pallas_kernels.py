@@ -476,7 +476,7 @@ def _pad_setup(arrays, true_extents):
 def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
                   vbuf, in_sems, out_sems, *, n_full, gn, slab, y_hi,
                   z_hi, tx, dt, h, eps, b_alpha, b_beta, t_amb,
-                  pipeline=True):
+                  pipeline=True, ty=None, ny=None):
     """``gx0_ref``/``gn``/``slab``: global x placement for x-slab
     arrays (see _advect_kernel).  On a slab (halo 2) the domain
     x-ghost sits at absolute row 1 / n_full-2 (row 0 / n_full-1 are
@@ -484,16 +484,36 @@ def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
     gated on the slab actually touching the domain edge; the global
     interior mask makes halo rows with interior global indices update
     like their owner (deterministic replication) and zeroes the mag
-    ghost exactly where the dense kernel does."""
-    def compute(refs, wlo):
+    ghost exactly where the dense kernel does.
+
+    ``ty``: y-tile rows — windows tile the y axis too with a 2-row
+    halo (_stream_tiles2d), for plane sizes that collapse tx; the
+    interior mask and y-face rows then use window-global ``wylo``.
+    wylo == 0 on the full-y path, so the y-face gates fold to the
+    static form there."""
+    py = None if ty is None else ty + 4
+
+    def compute(refs, wlo, wylo):
         vu, vv, vw, vd, vt = refs
         shape = vu.shape
         gi = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
               + gx0_ref[0])
-        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + wylo
         kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         interior = ((gi >= 1) & (gi <= gn - 2) & (jj >= 1)
                     & (jj <= y_hi - 1) & (kk <= z_hi))
+        apply_ylo = wylo == 0
+        pyw = shape[1]
+        rel_yhi = jnp.clip(y_hi - wylo, 1, pyw - 1)
+        apply_yhi = (y_hi - wylo) <= pyw - 1
+
+        def bnd_y_ref(ref, sy):
+            lo = ref[:, 0:1, :]
+            ref[:, 0:1, :] = jnp.where(apply_ylo, sy * ref[:, 1:2, :],
+                                       lo)
+            hi = ref[:, pl.ds(rel_yhi, 1), :]
+            ref[:, pl.ds(rel_yhi, 1), :] = jnp.where(
+                apply_yhi, sy * ref[:, pl.ds(rel_yhi - 1, 1), :], hi)
         zedges = _lane_edges(shape, z_hi)
         p_ = shape[0]
         if slab:
@@ -520,11 +540,13 @@ def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
                 ref[pl.ds(rel_hi, 1)] = jnp.where(
                     ap_hi, sx * ref[pl.ds(rel_hi - 1, 1)],
                     ref[pl.ds(rel_hi, 1)])
-                ref[:, 0:1, :] = sy * ref[:, 1:2, :]
-                ref[:, y_hi:y_hi + 1, :] = sy * ref[:, y_hi - 1:y_hi, :]
+                bnd_y_ref(ref, sy)
             else:
-                _face_fix_ref(ref, is_first, is_last, p=p_, sx=sx,
-                              sy=sy, y_hi=y_hi)
+                ref[0:1] = jnp.where(is_first, sx * ref[1:2], ref[0:1])
+                ref[p_ - 1:p_] = jnp.where(is_last,
+                                           sx * ref[p_ - 2:p_ - 1],
+                                           ref[p_ - 1:p_])
+                bnd_y_ref(ref, sy)
 
         if b_alpha or b_beta:
             # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
@@ -567,21 +589,33 @@ def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
             bnd_ref(vv, 2)
             bnd_ref(vw, 3)
 
-    _stream_tiles((u_hbm, v_hbm, w_hbm, d_hbm, t_hbm),
-                  ((0, uo), (1, vo), (2, wo)), vbuf, in_sems, out_sems,
-                  n_full=n_full, tx=tx, halo=2, compute=compute,
-                  pipeline=pipeline)
+    if ty is None:
+        _stream_tiles((u_hbm, v_hbm, w_hbm, d_hbm, t_hbm),
+                      ((0, uo), (1, vo), (2, wo)), vbuf, in_sems,
+                      out_sems, n_full=n_full, tx=tx, halo=2,
+                      compute=lambda refs, wlo: compute(refs, wlo, 0),
+                      pipeline=pipeline)
+    else:
+        _stream_tiles2d((u_hbm, v_hbm, w_hbm, d_hbm, t_hbm),
+                        ((0, uo), (1, vo), (2, wo)), vbuf, in_sems,
+                        out_sems, n_full=n_full, tx=tx, halo=2, ny=ny,
+                        ty=ty, hy=2, compute=compute,
+                        pipeline=pipeline)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "dt", "h", "eps", "b_alpha", "b_beta", "t_amb", "tx",
-    "true_extents", "gn"))
+    "true_extents", "gn", "ty"))
 def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
                      b_alpha: float, b_beta: float, t_amb: float,
-                     tx: int = 4, true_extents=None, gx0=None, gn=None):
+                     tx: int = 4, true_extents=None, gx0=None, gn=None,
+                     ty=None):
     """Fused buoyancy + vorticity confinement (stam.buoyancy3d followed
     by stam.vorticity_confinement3d), one HBM pass.  ``gx0``/``gn``:
-    global x placement for x-slab arrays (see advect3d_multi_pallas)."""
+    global x placement for x-slab arrays (see advect3d_multi_pallas).
+    ``ty``: y-tile rows — tile the window along y too (hy=2), for
+    plane sizes that collapse tx (512^3 picks tx=2, a 3x read
+    redundancy); None keeps full-y windows."""
     ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (u, v, w, dens, temp), true_extents)
     slab = gx0 is not None
@@ -589,19 +623,35 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
         gn = n_full
     gx0_arr = (jnp.zeros((1,), jnp.int32) if gx0 is None
                else jnp.asarray(gx0, jnp.int32).reshape(1))
-    tx, pipeline = _fit_tx_or_serial(tx, 5, 2, n_full, yp, zp,
-                                     budget=50 * 1024 * 1024)
+    ny = ins[0].shape[1]
+    if ty is not None:
+        py = ty + 4
+        # the last window must keep the y_hi face's source row inside
+        if py > ny or ny - py > y_true - 2:
+            raise ValueError(
+                f"forcing y tile window {py} incompatible with {ny} "
+                f"rows (y_hi {y_true - 1})")
+        tx = max(1, min(tx, _fit_tx(tx, 5, 2, n_full, py, zp,
+                                    budget=50 * 1024 * 1024)))
+        pipeline = True
+        grid = (pl.cdiv(n_full, tx), pl.cdiv(ny, ty))
+        ywin = py
+    else:
+        tx, pipeline = _fit_tx_or_serial(tx, 5, 2, n_full, yp, zp,
+                                         budget=50 * 1024 * 1024)
+        grid = (pl.cdiv(n_full, tx),)
+        ywin = ins[0].shape[1]
     p = tx + 4
     kern = functools.partial(
         _force_kernel, n_full=n_full, gn=gn, slab=slab, y_hi=y_true - 1,
         z_hi=z_true - 3, tx=tx, dt=dt, h=h, eps=eps, b_alpha=b_alpha,
-        b_beta=b_beta, t_amb=t_amb, pipeline=pipeline)
+        b_beta=b_beta, t_amb=t_amb, pipeline=pipeline, ty=ty, ny=ny)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(pl.cdiv(n_full, tx),),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
-        scratch_shapes=_stream_scratch(5, 3, p, ins[0].shape[1],
+        scratch_shapes=_stream_scratch(5, 3, p, ywin,
                                        ins[0].shape[2],
                                        slots=2 if pipeline else 1),
     )
