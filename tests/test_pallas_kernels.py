@@ -140,6 +140,46 @@ def test_forcing_pallas_matches_dense_interpret():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)
 
 
+@pytest.mark.parametrize("b", [0, 1, 2])
+def test_lin_solve2d_pallas_matches_dense_interpret(b):
+    """The whole-solve-in-VMEM 2D kernel must be bit-compatible with
+    stam.lin_solve2d (Jacobi + set_bnd2d incl. corner averages)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve2d_pallas
+    rng = np.random.default_rng(1)
+    n = 16
+    x = stam.set_bnd2d(b, jnp.asarray(rng.normal(0, 1, (n + 2, n + 2)),
+                                      jnp.float32))
+    x0 = jnp.asarray(rng.normal(0, 1, (n + 2, n + 2)), jnp.float32)
+    ref = stam.lin_solve2d(b, x, x0, 1.0, 4.0, 6)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve2d_pallas(b, x, x0, 1.0, 4.0, 6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_step2d_pallas_solver_matches_xla_interpret():
+    """step2d with solver_backend='pallas' (the 2D smoke config path)
+    must be bit-compatible with the XLA solver loop."""
+    from jax.experimental.pallas import tpu as pltpu
+    cfg = stam.StamConfig(n=32, dt=0.1, diff=1e-5, visc=1e-5,
+                          jacobi_iters=8)
+    s = stam.make_grid2d(cfg)
+    src = jnp.zeros((34, 34), jnp.float32).at[12:18, 4:8].set(5.0)
+    sources = {"dens": src, "fv": jnp.zeros_like(src).at[12:18, 4:8]
+               .set(2.0)}
+    ref = s
+    for _ in range(3):
+        ref = stam.step2d(ref, cfg, sources)
+    cfgp = cfg.replace(solver_backend="pallas")
+    got = s
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(3):
+            got = stam.step2d(got, cfgp, sources)
+    for f in ("u", "v", "dens"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(ref, f)), f)
+
+
 @pytest.mark.parametrize("ty", [4, 6])
 def test_forcing_pallas_ytiled_interpret(ty):
     """y-tiled forcing windows (hy=2 halo, dynamic y-face rows) must be

@@ -195,10 +195,22 @@ def lin_solve3d(b, x, x0, a, c, iters, red_black=False):
     return jax.lax.fori_loop(0, iters, body_rb, x)
 
 
+def _lin_solve2d(b, x, x0, a, c, iters, cfg):
+    """lin_solve2d with the whole-solve-in-VMEM Pallas kernel on TPU
+    (the XLA loop pays per-op dispatch for every sweep + set_bnd of a
+    tiny array — it dominates the 2D step); bit-compatible (tested)."""
+    if (_use_pallas(cfg) and cfg.solver_dtype != "bfloat16"
+            and x.shape[0] * x.shape[1] * 12 < 64 * 1024 * 1024):
+        from tpufluids.grid.pallas_kernels import lin_solve2d_pallas
+        return lin_solve2d_pallas(b, x, x0, float(a), float(c), iters)
+    return lin_solve2d(b, x, x0, a, c, iters)
+
+
 def diffuse2d(b, x, cfg, coeff, iters=None):
     n = x.shape[0] - 2
     a = cfg.dt * coeff * n * n
-    return lin_solve2d(b, x, x, a, 1 + 4 * a, iters or cfg.jacobi_iters)
+    return _lin_solve2d(b, x, x, a, 1 + 4 * a, iters or cfg.jacobi_iters,
+                        cfg)
 
 
 def _use_pallas(cfg):
@@ -410,8 +422,8 @@ def project2d(u, v, cfg, with_residual: bool = False):
     if cfg.projection == "dct":
         p = dct_solve2d(div, cfg)
     else:
-        p = lin_solve2d(0, jnp.zeros_like(u), div, 1.0, 4.0,
-                        cfg.jacobi_iters)
+        p = _lin_solve2d(0, jnp.zeros_like(u), div, 1.0, 4.0,
+                         cfg.jacobi_iters, cfg)
     u = u.at[1:-1, 1:-1].add(-0.5 * (p[2:, 1:-1] - p[:-2, 1:-1]) / h)
     v = v.at[1:-1, 1:-1].add(-0.5 * (p[1:-1, 2:] - p[1:-1, :-2]) / h)
     u, v = set_bnd2d(1, u), set_bnd2d(2, v)
