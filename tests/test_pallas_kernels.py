@@ -42,6 +42,25 @@ def test_pallas_solver_matches_dense_interpret(rand3d, b, red_black,
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("b", [0, 2])
+@pytest.mark.parametrize("red_black", [False, True])
+def test_pallas_solver_whole_matches_dense_interpret(rand3d, b,
+                                                     red_black):
+    """Whole-solve mode of lin_solve3d_pallas (tx=n_full, fuse=iters):
+    one resident-in-VMEM kernel call, bit-compatible with the dense
+    solver (same sweep code, window = the whole array)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_pallas
+    x, x0 = rand3d
+    x = stam.set_bnd3d(b, x)
+    ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=red_black)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve3d_pallas(b, x, x0, 1.0, 6.0, 4,
+                                 red_black=red_black, tx=x.shape[0],
+                                 fuse=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.parametrize("nd", [2, 3])
 def test_stencil_advection_matches_gather_under_cfl(nd):
     rng = np.random.default_rng(3)
@@ -439,9 +458,46 @@ def test_rb_packed_plan_degrades_with_grid_size():
     tx5, fuse5, pipe5 = rb_packed_plan((514, 514, 514), 20)
     assert tx5 >= 1 and fuse5 in (1, 2, 4) and 20 % fuse5 == 0
     assert (tx5 + 4 * fuse5) <= 514
-    # tiny grids: window must fit the array
-    txt, fuset, _ = rb_packed_plan((18, 18, 18), 4)
-    assert txt + 4 * fuset <= 18
+    # small grids: whole-solve mode (tx=n_full, fuse=iters signals the
+    # single-call resident-in-VMEM kernel)
+    txt, fuset, pipet = rb_packed_plan((18, 18, 18), 4)
+    assert (txt, fuset, pipet) == (18, 4, False)
+    tx6, fuse6, pipe6 = rb_packed_plan((130, 130, 130), 20)
+    assert (tx6, fuse6, pipe6) == (130, 20, False)
+
+
+@pytest.mark.parametrize("b", [0, 1, 3])
+@pytest.mark.parametrize("n", [14, 15])
+def test_packed_rb_solver_whole_matches_dense_interpret(b, n):
+    """Whole-solve-in-VMEM mode (tx=n_full, fuse=iters): the full
+    iteration loop in one kernel call must stay bit-compatible with the
+    dense red-black solver on both y_hi parities."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+    x = jax.random.normal(jax.random.PRNGKey(5), (n + 2,) * 3,
+                          jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(6), (n + 2,) * 3,
+                           jnp.float32)
+    x = stam.set_bnd3d(b, x)
+    ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve3d_rb_packed(b, x, x0, 1.0, 6.0, 4, tx=n + 2,
+                                    fuse=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_rb_solver_whole_x_zero_matches_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+    n = 14
+    x0 = jax.random.normal(jax.random.PRNGKey(7), (n + 2,) * 3,
+                           jnp.float32)
+    z = jnp.zeros_like(x0)
+    ref = stam.lin_solve3d(0, z, x0, 1.0, 6.0, 4, red_black=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve3d_rb_packed(0, z, x0, 1.0, 6.0, 4, tx=n + 2,
+                                    fuse=4, x_zero=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_packed_rb_solver_x_zero_matches(rand3d):

@@ -117,6 +117,59 @@ def _sweep_ref(vx, v0, mask, zedges, is_first, is_last, *, a, c_inv,
     _face_fix_ref(vx, is_first, is_last, p=p, sx=sx, sy=sy, y_hi=y_hi)
 
 
+def _solve_whole_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
+                        a, c_inv, sx, sy, sz, n_full, y_hi, z_hi,
+                        iters, red_black):
+    """Whole-solve-in-VMEM jacobi/red-black kernel: both buffers stay
+    resident for the entire iteration loop (one kernel call, one HBM
+    read+write — the windowed _solve_kernel re-streams the field every
+    fused pass and pays a call per pass).  For grids that fit the
+    jacobi_whole_ok gate; fori_loop keeps compile time independent of
+    ``iters``."""
+    cp1 = pltpu.make_async_copy(x_hbm, vx, sem1)
+    cp2 = pltpu.make_async_copy(x0_hbm, vx0, sem2)
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    shape = vx.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk <= z_hi))
+    if red_black:
+        chk = ((gi + jj + kk) % 2) == 0
+        masks = (interior & chk, interior & (~chk))
+    else:
+        masks = (interior,)
+    zedges = _lane_edges(shape, z_hi)
+    v0 = vx0[...]
+
+    def body(_, carry):
+        for m in masks:
+            _sweep_ref(vx, v0, m, zedges, True, True, a=a, c_inv=c_inv,
+                       sx=sx, sy=sy, sz=sz, p=n_full, y_hi=y_hi)
+        return carry
+
+    jax.lax.fori_loop(0, iters, body, 0)
+    cp3 = pltpu.make_async_copy(vx, out_hbm, sem1)
+    cp3.start()
+    cp3.wait()
+
+
+def jacobi_whole_ok(shape, dtype=jnp.float32):
+    """True when lin_solve3d_pallas can run whole-solve-in-VMEM on
+    ``shape`` (both z-ghostless buffers resident, <= ~130^3 at f32);
+    request it by passing tx=n_full, fuse=iters."""
+    n_full, y_true, z_true = shape
+    esize = jnp.dtype(dtype).itemsize
+    ymul = 16 if esize == 2 else 8
+    yp, zp = zg_extents(y_true, z_true, ymul)
+    return n_full * yp * zp * esize <= 12 * 1024 * 1024
+
+
 def _solve_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
                   a, c_inv, sx, sy, sz, n_full, y_hi, z_hi, tx, halo,
                   parities):
@@ -1237,6 +1290,62 @@ def _rb_sweeps(vA, vB, vA0, vB0, wlo, *, a, c_inv, sx, sy, sz, n_full,
                      y_hi=y_hi)
 
 
+def _rb_sweeps_whole(vA, vB, vA0, vB0, *, a, c_inv, sx, sy, sz,
+                     n_full, y_hi, z_hi, iters):
+    """All ``iters`` red-black iterations on the WHOLE packed arrays in
+    VMEM: no windows, so no halo cone, no seam garbage, no redundant
+    halo recompute, and a single HBM read+write for the entire solve
+    (the windowed plans re-stream the field once per fused pass).  The
+    face fix applies unconditionally at both x edges every half-sweep.
+    fori_loop keeps compile time independent of ``iters`` (the windowed
+    kernels unroll their n_sweeps)."""
+    r0 = _rb_r_mask(vA.shape, 0)
+    zedges = _lane_edges(vA.shape, z_hi)
+    a0v = vA0[...]
+    b0v = vB0[...]
+
+    def body(_, carry):
+        _rb_half_sweep(vA, vB, a0v, r0, zedges, a=a, c_inv=c_inv, sz=sz)
+        _rb_face_fix(vA, vB, True, True, r0, p=n_full, sx=sx, sy=sy,
+                     y_hi=y_hi)
+        _rb_half_sweep(vB, vA, b0v, ~r0, zedges, a=a, c_inv=c_inv,
+                       sz=sz)
+        _rb_face_fix(vA, vB, True, True, r0, p=n_full, sx=sx, sy=sy,
+                     y_hi=y_hi)
+        return carry
+
+    jax.lax.fori_loop(0, iters, body, 0)
+
+
+def _solve_rb_packed_whole_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm,
+                                  oA_hbm, oB_hbm, vA, vB, vA0, vB0,
+                                  sems, *, a, c_inv, sx, sy, sz, n_full,
+                                  y_hi, z_hi, iters):
+    """Whole-solve-in-VMEM packed red-black kernel (grids whose four
+    packed buffers fit VMEM, <= ~130^3): the 3D analog of
+    _lin_solve2d_kernel."""
+    cps = []
+    for i, (src, dstv) in enumerate(((xA_hbm, vA), (xB_hbm, vB),
+                                     (a0_hbm, vA0), (b0_hbm, vB0))):
+        cp = pltpu.make_async_copy(src, dstv, sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    _rb_sweeps_whole(vA, vB, vA0, vB0, a=a, c_inv=c_inv, sx=sx, sy=sy,
+                     sz=sz, n_full=n_full, y_hi=y_hi, z_hi=z_hi,
+                     iters=iters)
+
+    wcps = []
+    for i, (ref, out) in enumerate(((vA, oA_hbm), (vB, oB_hbm))):
+        cp = pltpu.make_async_copy(ref, out, sems.at[i])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
 def _solve_rb_packed_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
                             oB_hbm, vA, vB, vA0, vB0, sems, *,
                             a, c_inv, sx, sy, sz, n_full, y_hi, z_hi,
@@ -1351,6 +1460,14 @@ def rb_packed_plan(shape, iters):
     n_full, y_true, z_true = shape
     yp, zp = zg_extents(y_true, z_true)
     yhp = -(-(yp // 2) // 8) * 8
+    # whole-solve mode: all four packed buffers resident in VMEM for
+    # the entire iteration loop (single kernel call, single HBM
+    # read+write, zero halo recompute) — encoded as tx=n_full,
+    # fuse=iters, a combination the windowed path rejects.  The 6 MB
+    # per-buffer gate (~<=130^3) leaves the 100 MB VMEM limit ample
+    # headroom for sweep temporaries.
+    if n_full * yhp * zp * 4 <= 6 * 1024 * 1024:
+        return n_full, iters, False
     for fuse in (4, 2, 1):
         if iters % fuse:
             continue
@@ -1476,6 +1593,34 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
         padr = ((0, 0), (0, yhp - yh), (0, 0))
         A, B, A0, B0 = (jnp.pad(q, padr) for q in (A, B, A0, B0))
 
+    y_hi = y_true - 1
+    if tx >= n_full and fuse >= iters:
+        # whole-solve mode (rb_packed_plan emits tx=n_full, fuse=iters
+        # when the four packed buffers fit VMEM): one kernel call runs
+        # every iteration with the arrays resident
+        if ty is not None:
+            raise ValueError("whole-solve mode has no y tiling")
+        kern = functools.partial(
+            _solve_rb_packed_whole_kernel, a=a, c_inv=1.0 / c, sx=sx,
+            sy=sy, sz=sz, n_full=n_full, y_hi=y_hi, z_hi=z_true - 3,
+            iters=iters)
+        call = pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 2),
+            out_shape=tuple(jax.ShapeDtypeStruct(A.shape, jnp.float32)
+                            for _ in range(2)),
+            scratch_shapes=[pltpu.VMEM(A.shape, jnp.float32)
+                            for _ in range(4)]
+                           + [pltpu.SemaphoreType.DMA((4,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+        A, B = call(A, B, A0, B0)
+        return _rb_unpack(A, B, r0, yh, yhp, n_full, yp, zp, b,
+                          standalone, y_true, z_true)
+
     fuse = max(1, min(fuse, iters))
     if iters % fuse:
         raise ValueError(f"iters={iters} must be a multiple of fuse")
@@ -1485,8 +1630,6 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
     p = tx + 2 * halo
     if p > n_full:
         raise ValueError(f"window {p} exceeds array extent {n_full}")
-
-    y_hi = y_true - 1
     if ty is not None:
         ny = A.shape[1]
         hy = n_sweeps
@@ -1539,7 +1682,12 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
         return call(ab[0], ab[1], A0, B0)
 
     A, B = jax.lax.fori_loop(0, passes, body, (A, B))
+    return _rb_unpack(A, B, r0, yh, yhp, n_full, yp, zp, b, standalone,
+                      y_true, z_true)
 
+
+def _rb_unpack(A, B, r0, yh, yhp, n_full, yp, zp, b, standalone,
+               y_true, z_true):
     # unpack: interleave even/odd rows via stack+reshape (the strided
     # .at[::2].set scatter lowers to gather+transpose passes on TPU)
     if yhp != yh:
@@ -1576,6 +1724,26 @@ def lin_solve3d_pallas(b: int, x, x0, a: float, c: float, iters: int,
     x = zg_pad(x, yp, zp).astype(dtype)
     x0 = zg_pad(x0, yp, zp).astype(dtype)
     sx, sy, sz = _bnd_scales(b)
+    if tx >= n_full and fuse >= iters:
+        # whole-solve mode (see jacobi_whole_ok): the full loop in one
+        # kernel call with both buffers resident in VMEM
+        kern = functools.partial(
+            _solve_whole_kernel, a=a, c_inv=1.0 / c, sx=sx, sy=sy,
+            sz=sz, n_full=n_full, y_hi=y_true - 1, z_hi=z_true - 3,
+            iters=iters, red_black=red_black)
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=[pltpu.VMEM(x.shape, x.dtype),
+                            pltpu.VMEM(x.shape, x.dtype),
+                            pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x, x0).astype(in_dtype)
+        return zg_restore(out, b, y_true, z_true)
     if red_black:
         fuse = max(1, min(fuse, iters))
         if iters % fuse:

@@ -239,11 +239,16 @@ def _lin_solve3d(b, x, x0, a, c, iters, cfg, red_black=False,
                                          pipeline=pipe, x_zero=x_zero,
                                          true_extents=true_extents)
         assert true_extents is None, "padded flow needs red_black"
-        fuse = 2 if iters % 2 == 0 else 1
-        halo = (2 if red_black else 1) * fuse
-        tx = max(1, min(24, x.shape[0] - 2 * halo))
         dtype = (jnp.bfloat16 if cfg.solver_dtype == "bfloat16"
                  else jnp.float32)
+        from tpufluids.grid.pallas_kernels import jacobi_whole_ok
+        if jacobi_whole_ok(x.shape, dtype):
+            # whole-solve-in-VMEM: one kernel call for all iterations
+            tx, fuse = x.shape[0], iters
+        else:
+            fuse = 2 if iters % 2 == 0 else 1
+            halo = (2 if red_black else 1) * fuse
+            tx = max(1, min(24, x.shape[0] - 2 * halo))
         return lin_solve3d_pallas(b, x, x0, float(a), float(c), iters,
                                   red_black=red_black, fuse=fuse, tx=tx,
                                   dtype=dtype)
