@@ -61,6 +61,46 @@ def test_pallas_solver_whole_matches_dense_interpret(rand3d, b,
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("red_black", [False, True])
+def test_project3d_whole_matches_composition_interpret(red_black):
+    """The fused whole-projection kernel (div + solve + gradsub in one
+    call, dispatched by stam.project3d) must be bit-identical to the
+    3-call pallas composition it replaces, and match the dense XLA
+    path to the 1-2 ulp the gradient stage's op-order difference
+    allows (XLA constant-folds the /h into a multiply)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid import pallas_kernels as pk
+    rng = np.random.default_rng(11)
+    n = 14
+    shape = (n + 2,) * 3
+    u = stam.set_bnd3d(1, jnp.asarray(rng.normal(0, 1, shape),
+                                      jnp.float32))
+    v = stam.set_bnd3d(2, jnp.asarray(rng.normal(0, 1, shape),
+                                      jnp.float32))
+    w = stam.set_bnd3d(3, jnp.asarray(rng.normal(0, 1, shape),
+                                      jnp.float32))
+    cfg_x = stam.StamConfig(n=n, jacobi_iters=4, red_black=red_black,
+                            solver_backend="xla")
+    cfg_p = cfg_x.replace(solver_backend="pallas")
+    ref = stam.project3d(u, v, w, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        got = stam.project3d(u, v, w, cfg_p)
+        div = pk.div3d_pallas(u, v, w)
+        if red_black:
+            p = pk.lin_solve3d_rb_packed(0, jnp.zeros_like(u), div,
+                                         1.0, 6.0, 4, tx=n + 2, fuse=4,
+                                         x_zero=True)
+        else:
+            p = pk.lin_solve3d_pallas(0, jnp.zeros_like(u), div, 1.0,
+                                      6.0, 4, tx=n + 2, fuse=4)
+        comp = pk.gradsub3d_pallas(p, u, v, w)
+    for g, c, r, name in zip(got, comp, ref, "uvw"):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(c),
+                                      err_msg=name)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0, atol=1e-6, err_msg=name)
+
+
 @pytest.mark.parametrize("nd", [2, 3])
 def test_stencil_advection_matches_gather_under_cfl(nd):
     rng = np.random.default_rng(3)

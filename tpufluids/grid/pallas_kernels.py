@@ -865,6 +865,130 @@ def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None,
     return outs
 
 
+def _project_whole_kernel(u_hbm, v_hbm, w_hbm, uo, vo, wo, vu, vv, vw,
+                          vp, vdiv, sems, *, n_full, y_hi, z_hi, h,
+                          iters, red_black):
+    """Whole projection (divergence -> pressure solve -> gradient
+    subtraction, the body of stam.project3d) in ONE kernel call with
+    every buffer resident in VMEM — for grids that fit the
+    project_whole_ok gate.  The windowed path is three kernel calls
+    with div and p round-tripping through HBM.  Each stage reuses the
+    exact math of _div_kernel / _solve_whole_kernel / _gradsub_kernel
+    with window = the whole array, so the result is bit-identical to
+    their composition (tested)."""
+    cps = []
+    for i, (src, dstv) in enumerate(((u_hbm, vu), (v_hbm, vv),
+                                     (w_hbm, vw))):
+        cp = pltpu.make_async_copy(src, dstv, sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    shape = vu.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk <= z_hi))
+    zedges = _lane_edges(shape, z_hi)
+
+    # divergence (as _div_kernel: b=0 faces, w's z ghosts are the b=3
+    # mirror)
+    u, v, w = vu[...], vv[...], vw[...]
+    s = (_shift(u, 1, 0) - _shift(u, -1, 0) + _shift(v, 1, 1)
+         - _shift(v, -1, 1) + _zshift_g(w, 1, -1.0, *zedges)
+         - _zshift_g(w, -1, -1.0, *zedges))
+    vdiv[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
+    _face_fix_ref(vdiv, True, True, p=n_full, sx=1.0, sy=1.0, y_hi=y_hi)
+
+    # pressure solve from a zero guess (as _solve_whole_kernel, b=0)
+    vp[...] = jnp.zeros(shape, jnp.float32)
+    if red_black:
+        chk = ((gi + jj + kk) % 2) == 0
+        masks = (interior & chk, interior & (~chk))
+    else:
+        masks = (interior,)
+    v0 = vdiv[...]
+
+    def body(_, carry):
+        for m in masks:
+            _sweep_ref(vp, v0, m, zedges, True, True, a=1.0,
+                       c_inv=1.0 / 6.0, sx=1.0, sy=1.0, sz=1.0,
+                       p=n_full, y_hi=y_hi)
+        return carry
+
+    jax.lax.fori_loop(0, iters, body, 0)
+
+    # gradient subtraction (as _gradsub_kernel)
+    pr = vp[...]
+    for axis, ref, b in ((0, vu, 1), (1, vv, 2), (2, vw, 3)):
+        if axis == 2:
+            hi = _zshift_g(pr, 1, 1.0, *zedges)
+            lo = _zshift_g(pr, -1, 1.0, *zedges)
+        else:
+            hi, lo = _shift(pr, 1, axis), _shift(pr, -1, axis)
+        g_ = jnp.float32(-0.5) * (hi - lo) / jnp.float32(h)
+        ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
+        sx, sy, _ = _bnd_scales(b)
+        _face_fix_ref(ref, True, True, p=n_full, sx=sx, sy=sy,
+                      y_hi=y_hi)
+
+    wcps = []
+    for i, (ref, out) in enumerate(((vu, uo), (vv, vo), (vw, wo))):
+        cp = pltpu.make_async_copy(ref, out, sems.at[i])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
+def project_whole_ok(shape):
+    """True when project3d_whole_pallas can run on ``shape`` (five
+    z-ghostless f32 buffers + sweep temporaries resident in VMEM,
+    <= ~130^3)."""
+    n_full, y_true, z_true = shape
+    yp, zp = zg_extents(y_true, z_true)
+    return n_full * yp * zp * 4 <= 10 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "red_black",
+                                             "true_extents", "h"))
+def project3d_whole_pallas(u, v, w, iters: int, red_black: bool = True,
+                           true_extents=None, h=None):
+    """Fused stam.project3d for small grids: divergence, ``iters``
+    jacobi/red-black pressure sweeps, and the gradient subtraction in
+    one kernel call (vs three calls + two HBM round trips of div/p).
+    Bit-compatible with div3d_pallas + the dense-path solve +
+    gradsub3d_pallas (tested).  Use only when project_whole_ok(shape);
+    the residual-reporting final step takes the unfused path."""
+    ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
+        (u, v, w), true_extents)
+    if h is None:
+        h = 1.0 / (n_full - 2)
+    shape = ins[0].shape
+    kern = functools.partial(_project_whole_kernel, n_full=n_full,
+                             y_hi=y_true - 1, z_hi=z_true - 3, h=h,
+                             iters=iters, red_black=red_black)
+    outs = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
+        out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                        for _ in range(5)]
+                       + [pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+    if standalone:
+        outs = tuple(zg_restore(o, b, y_true, z_true)
+                     for o, b in zip(outs, (1, 2, 3)))
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # fused multi-field 27-tap semi-Lagrangian advection
 

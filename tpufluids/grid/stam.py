@@ -566,7 +566,21 @@ def project3d(u, v, w, cfg, with_residual: bool = False,
     if _use_pallas(cfg) and n + 2 >= 16:
         from tpufluids.grid.pallas_kernels import (div3d_pallas,
                                                    gradsub3d_pallas,
+                                                   project_whole_ok,
+                                                   project3d_whole_pallas,
                                                    zg_pad, zg_restore)
+        if (not with_residual
+                and cfg.projection not in ("multigrid", "dct")
+                and cfg.solver_dtype != "bfloat16"
+                and project_whole_ok((u.shape[0],) + (
+                    (te[0], te[1]) if te is not None
+                    else (u.shape[1], u.shape[2])))):
+            # fused whole projection: div + solve + gradsub in one
+            # kernel call (small grids; bit-compatible, tested).  The
+            # residual-reporting step takes the 3-call path below.
+            return project3d_whole_pallas(u, v, w, cfg.jacobi_iters,
+                                          red_black=cfg.red_black,
+                                          true_extents=te)
         div = div3d_pallas(u, v, w, true_extents=te)
         # the packed red-black solver consumes/produces the
         # z-ghostless layout directly; multigrid/DCT solve on the
