@@ -101,6 +101,32 @@ def test_project3d_whole_matches_composition_interpret(red_black):
                                    rtol=0, atol=1e-6, err_msg=name)
 
 
+def test_diffuse3d_whole_multi_matches_sequential_interpret():
+    """The multi-field whole diffuse (one kernel call for several
+    independent jacobi systems) must be bit-identical to sequential
+    whole-solve diffuse calls per field."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import (diffuse3d_whole_multi,
+                                               lin_solve3d_pallas)
+    rng = np.random.default_rng(13)
+    n = 14
+    shape = (n + 2,) * 3
+    xs, flds = [], []
+    for b, coeff in ((1, 2e-4), (2, 2e-4), (0, 5e-5)):
+        x = stam.set_bnd3d(b, jnp.asarray(rng.normal(0, 1, shape),
+                                          jnp.float32))
+        a = 0.05 * coeff * n * n
+        xs.append(x)
+        flds.append((b, float(a), float(1.0 + 6.0 * a)))
+    with pltpu.force_tpu_interpret_mode():
+        got = diffuse3d_whole_multi(tuple(xs), tuple(flds), 4)
+        refs = [lin_solve3d_pallas(b, x, x, a, c, 4, tx=n + 2, fuse=4)
+                for x, (b, a, c) in zip(xs, flds)]
+    for g, r, (b, _, _) in zip(got, refs, flds):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg=f"b={b}")
+
+
 @pytest.mark.parametrize("nd", [2, 3])
 def test_stencil_advection_matches_gather_under_cfl(nd):
     rng = np.random.default_rng(3)

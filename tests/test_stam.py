@@ -153,3 +153,31 @@ def test_smoke_box_2d_runs():
     assert float(np.asarray(s.dens).max()) > 0
     # divergence stays small after projection
     assert float(np.abs(stam.divergence2d(s.u, s.v)).max()) < 0.5
+
+
+def test_run3d_python_zg_resident_matches_per_step():
+    """run3d_python keeps state in the z-ghostless layout across steps
+    on the pallas path; the result must be bit-identical to dense
+    per-step stepping (the conversions it skips are exact inverses)."""
+    from jax.experimental.pallas import tpu as pltpu
+    cfg = stam.StamConfig(n=16, dt=0.05, diff=1e-5, visc=1e-5,
+                          jacobi_iters=4, red_black=True,
+                          advect_mode="stencil", buoyancy_alpha=0.05,
+                          buoyancy_beta=1.0, vorticity_eps=2.0,
+                          solver_backend="pallas")
+    s = stam.make_grid3d(cfg)
+    s = s.replace(
+        dens=stam.set_bnd3d(0, s.dens.at[6:10, 6:10, 2:5].set(1.0)),
+        temp=stam.set_bnd3d(0, s.temp.at[6:10, 6:10, 2:5].set(3.0)))
+    with pltpu.force_tpu_interpret_mode():
+        ref = s
+        for _ in range(2):
+            ref = stam.step3d(ref, cfg)
+        ref, rres = stam.step3d(ref, cfg, with_residual=True)
+        got, gres = stam.run3d_python(s, cfg, 3)
+    for f in ("u", "v", "w", "dens", "temp"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(ref, f)),
+                                      err_msg=f)
+    np.testing.assert_array_equal(np.asarray(gres[-1]),
+                                  np.asarray(rres))

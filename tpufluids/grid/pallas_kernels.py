@@ -159,6 +159,93 @@ def _solve_whole_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
     cp3.wait()
 
 
+def _solve_whole_multi_kernel(*refs, n_full, y_hi, z_hi, iters,
+                              fields):
+    """Whole-solve k independent jacobi systems in ONE kernel call
+    (the per-field diffuse sweeps of a step are independent; running
+    them resident saves k-1 kernel calls and the per-field layout
+    conversions).  ``fields``: static tuple of (b, a, c) per array;
+    x0 = the input field itself (the diffuse contract)."""
+    k = len(fields)
+    in_hbm, out_hbm = refs[:k], refs[k:2 * k]
+    vxs, v0s, sems = refs[2 * k:3 * k], refs[3 * k:4 * k], refs[4 * k]
+    cps = []
+    for i in range(k):
+        cp = pltpu.make_async_copy(in_hbm[i], vxs[i], sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+    for i in range(k):
+        v0s[i][...] = vxs[i][...]
+
+    shape = vxs[0].shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk <= z_hi))
+    zedges = _lane_edges(shape, z_hi)
+
+    def body(_, carry):
+        for i, (b, a, c) in enumerate(fields):
+            sx, sy, sz = _bnd_scales(b)
+            _sweep_ref(vxs[i], v0s[i][...], interior, zedges, True,
+                       True, a=a, c_inv=1.0 / c, sx=sx, sy=sy, sz=sz,
+                       p=n_full, y_hi=y_hi)
+        return carry
+
+    jax.lax.fori_loop(0, iters, body, 0)
+    wcps = []
+    for i in range(k):
+        cp = pltpu.make_async_copy(vxs[i], out_hbm[i], sems.at[i])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
+def whole_multi_ok(shape, k):
+    """True when ``k`` fields of ``shape`` can run the multi-field
+    whole diffuse (2k resident f32 buffers + sweep temporaries)."""
+    n_full, y_true, z_true = shape
+    yp, zp = zg_extents(y_true, z_true)
+    return k * n_full * yp * zp * 4 <= 30 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("fields", "iters",
+                                             "true_extents"))
+def diffuse3d_whole_multi(xs, fields, iters: int, true_extents=None):
+    """Diffuse k fields in one whole-in-VMEM kernel call.  ``fields``:
+    per-array (b, a, c) tuples (diffuse semantics: x0 is the field
+    itself).  Bit-compatible with k sequential diffuse3d whole-solve
+    calls (tested); use only when whole_multi_ok(shape, k)."""
+    ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
+        tuple(xs), true_extents)
+    k = len(fields)
+    shape = ins[0].shape
+    kern = functools.partial(_solve_whole_multi_kernel, n_full=n_full,
+                             y_hi=y_true - 1, z_hi=z_true - 3,
+                             iters=iters, fields=fields)
+    outs = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * k),
+        out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(k)),
+        scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                        for _ in range(2 * k)]
+                       + [pltpu.SemaphoreType.DMA((k,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+    if standalone:
+        outs = tuple(zg_restore(o, b, y_true, z_true)
+                     for o, (b, _, _) in zip(outs, fields))
+    return outs
+
+
 def jacobi_whole_ok(shape, dtype=jnp.float32):
     """True when lin_solve3d_pallas can run whole-solve-in-VMEM on
     ``shape`` (both z-ghostless buffers resident, <= ~130^3 at f32);

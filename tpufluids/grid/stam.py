@@ -741,7 +741,8 @@ def step2d(state: GridState2D, cfg: StamConfig,
 
 
 def step3d(state: GridState3D, cfg: StamConfig,
-           sources: Optional[dict] = None, with_residual: bool = False):
+           sources: Optional[dict] = None, with_residual: bool = False,
+           zg_true_extents=None):
     """One 3D step with set_bnd walls; configs 2-4 of BASELINE.json.
 
     On the Pallas/stencil path the five fields are converted to the
@@ -755,6 +756,9 @@ def step3d(state: GridState3D, cfg: StamConfig,
     pallas_kernels module docstring); shipped scenes use interior
     sources."""
     u, v, w, dens, temp = state.u, state.v, state.w, state.dens, state.temp
+    zg_in = zg_true_extents is not None
+    if zg_in and sources:
+        raise ValueError("zg-resident stepping does not take sources")
     if sources:
         u = u + cfg.dt * sources.get("fu", 0.0)
         v = v + cfg.dt * sources.get("fv", 0.0)
@@ -763,14 +767,23 @@ def step3d(state: GridState3D, cfg: StamConfig,
         temp = temp + cfg.dt * sources.get("temp", 0.0)
 
     n_ = u.shape[0] - 2
-    fused_advect = (_use_pallas(cfg) and cfg.advect_mode == "stencil"
-                    and n_ + 2 >= 16)
+    fused_advect = zg_in or (_use_pallas(cfg)
+                             and cfg.advect_mode == "stencil"
+                             and n_ + 2 >= 16)
     te = None
     if fused_advect:
         from tpufluids.grid.pallas_kernels import (zg_extents, zg_pad,
                                                    zg_restore)
-        y_true, z_true = u.shape[1], u.shape[2]
-        yp, zp = zg_extents(y_true, z_true)
+        if zg_in:
+            # zg-resident stepping (run3d_python): the fields arrive
+            # ALREADY in the z-ghostless layout and stay in it — the
+            # driver converts once per run, not twice per step (~10
+            # full-field passes/step saved)
+            y_true, z_true = zg_true_extents
+            yp, zp = u.shape[1], u.shape[2]
+        else:
+            y_true, z_true = u.shape[1], u.shape[2]
+            yp, zp = zg_extents(y_true, z_true)
         te = (y_true, z_true)
 
         def _pad(a):
@@ -779,7 +792,8 @@ def step3d(state: GridState3D, cfg: StamConfig,
         def _unpad(a, b=0):
             return zg_restore(a, b, y_true, z_true)
 
-        u, v, w, dens, temp = map(_pad, (u, v, w, dens, temp))
+        if not zg_in:
+            u, v, w, dens, temp = map(_pad, (u, v, w, dens, temp))
     else:
         _pad = lambda a: a
         _unpad = lambda a, b=0: a
@@ -803,10 +817,32 @@ def step3d(state: GridState3D, cfg: StamConfig,
                                                  _unpad(v, 2),
                                                  _unpad(w, 3), cfg)
             u, v, w = _pad(uu), _pad(vv), _pad(ww)
+    def _whole_diffuse(arrs, bs, coeffs):
+        """Multi-field whole-in-VMEM diffuse staying in the zg layout
+        (one kernel call for the trio instead of one per field, no
+        per-field pad/unpad round trips); None -> take the per-field
+        path."""
+        if not fused_advect or cfg.solver_dtype == "bfloat16":
+            return None
+        from tpufluids.grid.pallas_kernels import (diffuse3d_whole_multi,
+                                                   whole_multi_ok)
+        if not whole_multi_ok((arrs[0].shape[0], y_true, z_true),
+                              len(arrs)):
+            return None
+        flds = tuple((bb, float(cfg.dt * cc * n_ * n_),
+                      float(1.0 + 6.0 * cfg.dt * cc * n_ * n_))
+                     for bb, cc in zip(bs, coeffs))
+        return diffuse3d_whole_multi(arrs, flds, cfg.jacobi_iters,
+                                     true_extents=te)
+
     if cfg.visc:
-        u = _pad(diffuse3d(1, _unpad(u, 1), cfg, cfg.visc))
-        v = _pad(diffuse3d(2, _unpad(v, 2), cfg, cfg.visc))
-        w = _pad(diffuse3d(3, _unpad(w, 3), cfg, cfg.visc))
+        uvw = _whole_diffuse((u, v, w), (1, 2, 3), (cfg.visc,) * 3)
+        if uvw is not None:
+            u, v, w = uvw
+        else:
+            u = _pad(diffuse3d(1, _unpad(u, 1), cfg, cfg.visc))
+            v = _pad(diffuse3d(2, _unpad(v, 2), cfg, cfg.visc))
+            w = _pad(diffuse3d(3, _unpad(w, 3), cfg, cfg.visc))
     u, v, w = project3d(u, v, w, cfg, true_extents=te)
     u0, v0, w0 = u, v, w
     if fused_advect:
@@ -824,16 +860,35 @@ def step3d(state: GridState3D, cfg: StamConfig,
                                  true_extents=te)
     else:
         u, v, w = project3d(u, v, w, cfg, true_extents=te)
-    if cfg.diff:
-        dens = _pad(diffuse3d(0, _unpad(dens), cfg, cfg.diff))
-    if cfg.temp_diff:
-        temp = _pad(diffuse3d(0, _unpad(temp), cfg, cfg.temp_diff))
+    if cfg.diff or cfg.temp_diff:
+        arrs, bs, cs = [], [], []
+        if cfg.diff:
+            arrs.append(dens)
+            bs.append(0)
+            cs.append(cfg.diff)
+        if cfg.temp_diff:
+            arrs.append(temp)
+            bs.append(0)
+            cs.append(cfg.temp_diff)
+        dt_ = _whole_diffuse(tuple(arrs), tuple(bs), tuple(cs))
+        if dt_ is not None:
+            if cfg.diff:
+                dens = dt_[0]
+            if cfg.temp_diff:
+                temp = dt_[-1]
+        else:
+            if cfg.diff:
+                dens = _pad(diffuse3d(0, _unpad(dens), cfg, cfg.diff))
+            if cfg.temp_diff:
+                temp = _pad(diffuse3d(0, _unpad(temp), cfg,
+                                      cfg.temp_diff))
     if fused_advect:
         dens, temp = advect3d_multi_pallas((dens, temp), (0, 0), u, v, w,
                                            float(cfg.dt * n_),
                                            true_extents=te)
-        u, v, w = _unpad(u, 1), _unpad(v, 2), _unpad(w, 3)
-        dens, temp = _unpad(dens), _unpad(temp)
+        if not zg_in:
+            u, v, w = _unpad(u, 1), _unpad(v, 2), _unpad(w, 3)
+            dens, temp = _unpad(dens), _unpad(temp)
     else:
         dens = _advect3(0, dens, u, v, w, cfg)
         temp = _advect3(0, temp, u, v, w, cfg)
@@ -853,6 +908,12 @@ def run3d(state: GridState3D, cfg: StamConfig, n_steps: int):
 @functools.lru_cache(maxsize=16)
 def _jitted_step3d(cfg: StamConfig, with_residual: bool = False):
     return jax.jit(lambda s: step3d(s, cfg, with_residual=with_residual))
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_step3d_zg(cfg: StamConfig, te, with_residual: bool = False):
+    return jax.jit(lambda s: step3d(s, cfg, with_residual=with_residual,
+                                    zg_true_extents=te))
 
 
 @functools.lru_cache(maxsize=16)
@@ -883,8 +944,31 @@ def run3d_python(state: GridState3D, cfg: StamConfig, n_steps: int):
     (no per-step host sync); the Poisson residual is evaluated on the
     final step only (per-step scalar outputs would serialize the
     dispatch pipeline).  Returns (state, residual[-1:] array).
+
+    On the Pallas/stencil path the five fields are converted to the
+    z-ghostless layout ONCE for the whole run and every step is the
+    zg-resident variant — the per-step entry/exit conversions (~10
+    full-field passes/step, ~1.3 GB at 256^3) happen only at the run
+    boundaries (bit-identical: the layouts store the same cells and
+    the kernels synthesize the same set_bnd ghosts the dense restore
+    writes).
     """
-    step = _jitted_step3d(cfg)
+    n_ = state.u.shape[0] - 2
+    zg = (_use_pallas(cfg) and cfg.advect_mode == "stencil"
+          and n_ + 2 >= 16)
+    if zg:
+        from tpufluids.grid.pallas_kernels import (zg_extents, zg_pad,
+                                                   zg_restore)
+        y_true, z_true = state.u.shape[1], state.u.shape[2]
+        yp, zp = zg_extents(y_true, z_true)
+        te = (y_true, z_true)
+        fields = tuple(zg_pad(f, yp, zp)
+                       for f in (state.u, state.v, state.w,
+                                 state.dens, state.temp))
+        state = GridState3D(*fields)
+        step = _jitted_step3d_zg(cfg, te)
+    else:
+        step = _jitted_step3d(cfg)
     for i in range(max(n_steps - 1, 0)):
         state = step(state)
         # bound the in-flight dispatch queue with an occasional scalar
@@ -896,7 +980,15 @@ def run3d_python(state: GridState3D, cfg: StamConfig, n_steps: int):
         # relative to the step time.
         if (i & 63) == 63:
             float(state.u[1, 1, 1])
-    state, res = _jitted_step3d(cfg, True)(state)
+    if zg:
+        state, res = _jitted_step3d_zg(cfg, te, True)(state)
+        state = GridState3D(*(zg_restore(f, b, y_true, z_true)
+                              for f, b in zip((state.u, state.v,
+                                               state.w, state.dens,
+                                               state.temp),
+                                              (1, 2, 3, 0, 0))))
+    else:
+        state, res = _jitted_step3d(cfg, True)(state)
     return state, jnp.reshape(res, (1,))
 
 
