@@ -145,8 +145,19 @@ def _solve_whole_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
     else:
         masks = (interior,)
     zedges = _lane_edges(shape, z_hi)
-    v0 = vx0[...]
+    _jacobi_whole_loop(vx, vx0[...], masks, zedges, a=a, c_inv=c_inv,
+                       sx=sx, sy=sy, sz=sz, n_full=n_full, y_hi=y_hi,
+                       iters=iters)
+    cp3 = pltpu.make_async_copy(vx, out_hbm, sem1)
+    cp3.start()
+    cp3.wait()
 
+
+def _jacobi_whole_loop(vx, v0, masks, zedges, *, a, c_inv, sx, sy, sz,
+                       n_full, y_hi, iters):
+    """The whole-array sweep loop shared by _solve_whole_kernel and
+    _project_whole_kernel (one copy keeps their bit-compatibility from
+    drifting).  fori_loop keeps compile time independent of iters."""
     def body(_, carry):
         for m in masks:
             _sweep_ref(vx, v0, m, zedges, True, True, a=a, c_inv=c_inv,
@@ -154,9 +165,6 @@ def _solve_whole_kernel(x_hbm, x0_hbm, out_hbm, vx, vx0, sem1, sem2, *,
         return carry
 
     jax.lax.fori_loop(0, iters, body, 0)
-    cp3 = pltpu.make_async_copy(vx, out_hbm, sem1)
-    cp3.start()
-    cp3.wait()
 
 
 def _solve_whole_multi_kernel(*refs, n_full, y_hi, z_hi, iters,
@@ -207,10 +215,15 @@ def _solve_whole_multi_kernel(*refs, n_full, y_hi, z_hi, iters,
 
 def whole_multi_ok(shape, k):
     """True when ``k`` fields of ``shape`` can run the multi-field
-    whole diffuse (2k resident f32 buffers + sweep temporaries)."""
+    whole diffuse (2k resident f32 buffers + sweep temporaries).  The
+    per-field bound matches jacobi_whole_ok's 12 MB ceiling — the
+    sweep's transient working set scales with the field, not with k —
+    and the k-scaled bound caps the resident total."""
     n_full, y_true, z_true = shape
     yp, zp = zg_extents(y_true, z_true)
-    return k * n_full * yp * zp * 4 <= 30 * 1024 * 1024
+    bytes_per = n_full * yp * zp * 4
+    return (bytes_per <= 12 * 1024 * 1024
+            and k * bytes_per <= 30 * 1024 * 1024)
 
 
 @functools.partial(jax.jit, static_argnames=("fields", "iters",
@@ -815,6 +828,41 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
 # .at[].set/.add and the set_bnd face writes each materialize a copy)
 
 
+def _div_stage(vu, vv, vw, out_ref, interior, zedges, *, h, p, y_hi,
+               is_first, is_last):
+    """Divergence compute body shared by the windowed _div_kernel and
+    the fused _project_whole_kernel — keep ONE copy so the documented
+    bit-compatibility cannot drift between the two dispatch paths.
+    Same association order as stam.divergence3d; w's z-ghost taps
+    synthesize the b=3 mirror (sz = -1)."""
+    u, v, w = vu[...], vv[...], vw[...]
+    s = (_shift(u, 1, 0) - _shift(u, -1, 0) + _shift(v, 1, 1)
+         - _shift(v, -1, 1) + _zshift_g(w, 1, -1.0, *zedges)
+         - _zshift_g(w, -1, -1.0, *zedges))
+    out_ref[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
+    _face_fix_ref(out_ref, is_first, is_last, p=p, sx=1.0, sy=1.0,
+                  y_hi=y_hi)
+
+
+def _gradsub_stage(pr, refs_bs, interior, zedges, *, h, p, y_hi,
+                   is_first, is_last):
+    """Pressure-gradient subtraction body shared by the windowed
+    _gradsub_kernel and the fused _project_whole_kernel.  Same op
+    order as the dense path (bit-compatible): -0.5*(p[i+1]-p[i-1])/h;
+    p's z ghosts are the b=0 mirror (sz = 1)."""
+    for axis, ref, b in refs_bs:
+        if axis == 2:
+            hi = _zshift_g(pr, 1, 1.0, *zedges)
+            lo = _zshift_g(pr, -1, 1.0, *zedges)
+        else:
+            hi, lo = _shift(pr, 1, axis), _shift(pr, -1, axis)
+        g_ = jnp.float32(-0.5) * (hi - lo) / jnp.float32(h)
+        ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
+        sx, sy, _ = _bnd_scales(b)
+        _face_fix_ref(ref, is_first, is_last, p=p, sx=sx, sy=sy,
+                      y_hi=y_hi)
+
+
 def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
                 n_full, y_hi, z_hi, tx, h, pipeline=True):
     p = tx + 2
@@ -828,16 +876,9 @@ def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
         interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
                     & (jj <= y_hi - 1) & (kk <= z_hi))
         zedges = _lane_edges(shape, z_hi)
-
-        u, v, w = vu[...], vv[...], vw[...]
-        # same association order as stam.divergence3d (bit-compatible);
-        # w's z-ghost taps synthesize the b=3 mirror (sz = -1)
-        s = (_shift(u, 1, 0) - _shift(u, -1, 0) + _shift(v, 1, 1)
-             - _shift(v, -1, 1) + _zshift_g(w, 1, -1.0, *zedges)
-             - _zshift_g(w, -1, -1.0, *zedges))
-        vu[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
-        _face_fix_ref(vu, wlo == 0, wlo == n_full - p, p=p, sx=1.0,
-                      sy=1.0, y_hi=y_hi)
+        _div_stage(vu, vv, vw, vu, interior, zedges, h=h, p=p,
+                   y_hi=y_hi, is_first=wlo == 0,
+                   is_last=wlo == n_full - p)
 
     _stream_tiles((u_hbm, v_hbm, w_hbm), ((0, out_hbm),), vbuf,
                   in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
@@ -893,23 +934,9 @@ def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
         interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
                     & (jj <= y_hi - 1) & (kk <= z_hi))
         zedges = _lane_edges(shape, z_hi)
-        is_first = wlo == 0
-        is_last = wlo == n_full - p
-        pr = vp[...]
-        for axis, ref, b in ((0, vu, 1), (1, vv, 2), (2, vw, 3)):
-            # same op order as the dense path (bit-compatible):
-            # -0.5 * (p[i+1] - p[i-1]) / h; p's z ghosts are the b=0
-            # mirror (sz = 1)
-            if axis == 2:
-                hi = _zshift_g(pr, 1, 1.0, *zedges)
-                lo = _zshift_g(pr, -1, 1.0, *zedges)
-            else:
-                hi, lo = _shift(pr, 1, axis), _shift(pr, -1, axis)
-            g_ = jnp.float32(-0.5) * (hi - lo) / jnp.float32(h)
-            ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
-            sx, sy, _ = _bnd_scales(b)
-            _face_fix_ref(ref, is_first, is_last, p=p, sx=sx, sy=sy,
-                          y_hi=y_hi)
+        _gradsub_stage(vp[...], ((0, vu, 1), (1, vv, 2), (2, vw, 3)),
+                       interior, zedges, h=h, p=p, y_hi=y_hi,
+                       is_first=wlo == 0, is_last=wlo == n_full - p)
 
     _stream_tiles((p_hbm, u_hbm, v_hbm, w_hbm),
                   ((1, uo), (2, vo), (3, wo)), vbuf, in_sems, out_sems,
@@ -980,14 +1007,9 @@ def _project_whole_kernel(u_hbm, v_hbm, w_hbm, uo, vo, wo, vu, vv, vw,
                 & (jj <= y_hi - 1) & (kk <= z_hi))
     zedges = _lane_edges(shape, z_hi)
 
-    # divergence (as _div_kernel: b=0 faces, w's z ghosts are the b=3
-    # mirror)
-    u, v, w = vu[...], vv[...], vw[...]
-    s = (_shift(u, 1, 0) - _shift(u, -1, 0) + _shift(v, 1, 1)
-         - _shift(v, -1, 1) + _zshift_g(w, 1, -1.0, *zedges)
-         - _zshift_g(w, -1, -1.0, *zedges))
-    vdiv[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
-    _face_fix_ref(vdiv, True, True, p=n_full, sx=1.0, sy=1.0, y_hi=y_hi)
+    # divergence (shared _div_stage: b=0 faces)
+    _div_stage(vu, vv, vw, vdiv, interior, zedges, h=h, p=n_full,
+               y_hi=y_hi, is_first=True, is_last=True)
 
     # pressure solve from a zero guess (as _solve_whole_kernel, b=0)
     vp[...] = jnp.zeros(shape, jnp.float32)
@@ -996,30 +1018,14 @@ def _project_whole_kernel(u_hbm, v_hbm, w_hbm, uo, vo, wo, vu, vv, vw,
         masks = (interior & chk, interior & (~chk))
     else:
         masks = (interior,)
-    v0 = vdiv[...]
-
-    def body(_, carry):
-        for m in masks:
-            _sweep_ref(vp, v0, m, zedges, True, True, a=1.0,
+    _jacobi_whole_loop(vp, vdiv[...], masks, zedges, a=1.0,
                        c_inv=1.0 / 6.0, sx=1.0, sy=1.0, sz=1.0,
-                       p=n_full, y_hi=y_hi)
-        return carry
+                       n_full=n_full, y_hi=y_hi, iters=iters)
 
-    jax.lax.fori_loop(0, iters, body, 0)
-
-    # gradient subtraction (as _gradsub_kernel)
-    pr = vp[...]
-    for axis, ref, b in ((0, vu, 1), (1, vv, 2), (2, vw, 3)):
-        if axis == 2:
-            hi = _zshift_g(pr, 1, 1.0, *zedges)
-            lo = _zshift_g(pr, -1, 1.0, *zedges)
-        else:
-            hi, lo = _shift(pr, 1, axis), _shift(pr, -1, axis)
-        g_ = jnp.float32(-0.5) * (hi - lo) / jnp.float32(h)
-        ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
-        sx, sy, _ = _bnd_scales(b)
-        _face_fix_ref(ref, True, True, p=n_full, sx=sx, sy=sy,
-                      y_hi=y_hi)
+    # gradient subtraction (shared _gradsub_stage)
+    _gradsub_stage(vp[...], ((0, vu, 1), (1, vv, 2), (2, vw, 3)),
+                   interior, zedges, h=h, p=n_full, y_hi=y_hi,
+                   is_first=True, is_last=True)
 
     wcps = []
     for i, (ref, out) in enumerate(((vu, uo), (vv, vo), (vw, wo))):

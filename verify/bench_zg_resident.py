@@ -32,10 +32,15 @@ for n in sizes:
         0, s.temp.at[n // 3:n // 2, n // 3:n // 2, 1:n // 8].set(3.0)))
 
     step = stam._jitted_step3d(cfg)
+    step_res = stam._jitted_step3d(cfg, True)
 
     def run_dense(s0, k):
-        for _ in range(k):
+        # same call shape as run3d_python: k-1 plain steps + one
+        # with_residual step, so the arms differ ONLY by the layout
+        # conversions and per-step entry/exit passes under test
+        for _ in range(k - 1):
             s0 = step(s0)
+        s0, _res = step_res(s0)
         float(s0.u[1, 1, 1])
         return s0
 
