@@ -101,6 +101,38 @@ def test_project3d_whole_matches_composition_interpret(red_black):
                                    rtol=0, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.parametrize("forcing,red_black", [(False, True),
+                                               (True, True),
+                                               (True, False)])
+def test_step3d_whole_matches_multicall_interpret(forcing, red_black,
+                                                  monkeypatch):
+    """The fused whole-step kernel (ONE call per step) must be
+    bit-identical to the multi-call pallas step it replaces."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid import pallas_kernels as pk
+    n = 14
+    kw = (dict(buoyancy_alpha=0.05, buoyancy_beta=1.0,
+               vorticity_eps=2.0) if forcing else {})
+    cfg = stam.StamConfig(n=n, dt=0.05, diff=1e-5, visc=1e-5,
+                          temp_diff=2e-5, jacobi_iters=4,
+                          red_black=red_black, advect_mode="stencil",
+                          solver_backend="pallas", **kw)
+    s = stam.make_grid3d(cfg)
+    s = s.replace(
+        dens=stam.set_bnd3d(0, s.dens.at[5:9, 5:9, 2:5].set(1.0)),
+        temp=stam.set_bnd3d(0, s.temp.at[5:9, 5:9, 2:5].set(3.0)),
+        u=stam.set_bnd3d(1, s.u.at[4:10, 4:10, 4:8].set(0.3)),
+        w=stam.set_bnd3d(3, s.w.at[4:10, 4:10, 4:8].set(-0.2)))
+    with pltpu.force_tpu_interpret_mode():
+        got = stam.step3d(s, cfg)
+        monkeypatch.setattr(pk, "step_whole_ok", lambda shape: False)
+        ref = stam.step3d(s, cfg)
+    for f in ("u", "v", "w", "dens", "temp"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(ref, f)),
+                                      err_msg=f)
+
+
 def test_diffuse3d_whole_multi_matches_sequential_interpret():
     """The multi-field whole diffuse (one kernel call for several
     independent jacobi systems) must be bit-identical to sequential

@@ -626,6 +626,54 @@ def _pad_setup(arrays, true_extents):
 # fused buoyancy + vorticity-confinement forcing
 
 
+def _forcing_stage(vu, vv, vw, vd, vt, interior, zedges, bnd_ref, *,
+                   dt, h, eps, b_alpha, b_beta, t_amb):
+    """Buoyancy + vorticity-confinement compute body shared by the
+    windowed _force_kernel and the fused whole-step kernel (one copy
+    keeps the bit-compatibility from drifting).  ``bnd_ref(ref, b)``
+    is the caller's set_bnd fix for its window/face layout."""
+    if b_alpha or b_beta:
+        # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
+        f = -b_alpha * vd[...] + b_beta * (vt[...] - t_amb)
+        vw[...] = jnp.where(interior, vw[...] + dt * f, vw[...])
+        bnd_ref(vw, 3)
+
+    if eps:
+        inv2h = 0.5 / h
+        u, v, w = vu[...], vv[...], vw[...]
+
+        def d_axis(q, axis, sz=1.0):
+            if axis == 2:
+                # mag's dense ghost planes are literal zeros (the
+                # interior mask), which plain zero-fill shifts
+                # reproduce; u/v/w ghosts are set_bnd values
+                hi = _zshift_g(q, 1, sz, *zedges)
+                lo = _zshift_g(q, -1, sz, *zedges)
+                return (hi - lo) * inv2h
+            return (_shift(q, 1, axis) - _shift(q, -1, axis)) * inv2h
+
+        cx = d_axis(w, 1) - d_axis(v, 2)
+        cy = d_axis(u, 2) - d_axis(w, 0)
+        cz = d_axis(v, 0) - d_axis(u, 1)
+        mag = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+        mag = jnp.where(interior, mag, 0.0)
+        gx = d_axis(mag, 0)
+        gy = d_axis(mag, 1)
+        gz = (_shift(mag, 1, 2) - _shift(mag, -1, 2)) * inv2h
+        norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
+        gx, gy, gz = gx / norm, gy / norm, gz / norm
+        eps_h = eps * h
+        vu[...] = jnp.where(interior,
+                            u + dt * eps_h * (gy * cz - gz * cy), u)
+        vv[...] = jnp.where(interior,
+                            v + dt * eps_h * (gz * cx - gx * cz), v)
+        vw[...] = jnp.where(interior,
+                            w + dt * eps_h * (gx * cy - gy * cx), w)
+        bnd_ref(vu, 1)
+        bnd_ref(vv, 2)
+        bnd_ref(vw, 3)
+
+
 def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
                   vbuf, in_sems, out_sems, *, n_full, gn, slab, y_hi,
                   z_hi, tx, dt, h, eps, b_alpha, b_beta, t_amb,
@@ -701,46 +749,9 @@ def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
                                            ref[p_ - 1:p_])
                 bnd_y_ref(ref, sy)
 
-        if b_alpha or b_beta:
-            # buoyancy on w (stam.buoyancy3d) incl. its set_bnd(3, .)
-            f = -b_alpha * vd[...] + b_beta * (vt[...] - t_amb)
-            vw[...] = jnp.where(interior, vw[...] + dt * f, vw[...])
-            bnd_ref(vw, 3)
-
-        if eps:
-            inv2h = 0.5 / h
-            u, v, w = vu[...], vv[...], vw[...]
-
-            def d_axis(q, axis, sz=1.0):
-                if axis == 2:
-                    # mag's dense ghost planes are literal zeros (the
-                    # interior mask), which plain zero-fill shifts
-                    # reproduce; u/v/w ghosts are set_bnd values
-                    hi = _zshift_g(q, 1, sz, *zedges)
-                    lo = _zshift_g(q, -1, sz, *zedges)
-                    return (hi - lo) * inv2h
-                return (_shift(q, 1, axis) - _shift(q, -1, axis)) * inv2h
-
-            cx = d_axis(w, 1) - d_axis(v, 2)
-            cy = d_axis(u, 2) - d_axis(w, 0)
-            cz = d_axis(v, 0) - d_axis(u, 1)
-            mag = jnp.sqrt(cx * cx + cy * cy + cz * cz)
-            mag = jnp.where(interior, mag, 0.0)
-            gx = d_axis(mag, 0)
-            gy = d_axis(mag, 1)
-            gz = (_shift(mag, 1, 2) - _shift(mag, -1, 2)) * inv2h
-            norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + 1e-5
-            gx, gy, gz = gx / norm, gy / norm, gz / norm
-            eps_h = eps * h
-            vu[...] = jnp.where(interior,
-                                u + dt * eps_h * (gy * cz - gz * cy), u)
-            vv[...] = jnp.where(interior,
-                                v + dt * eps_h * (gz * cx - gx * cz), v)
-            vw[...] = jnp.where(interior,
-                                w + dt * eps_h * (gx * cy - gy * cx), w)
-            bnd_ref(vu, 1)
-            bnd_ref(vv, 2)
-            bnd_ref(vw, 3)
+        _forcing_stage(vu, vv, vw, vd, vt, interior, zedges, bnd_ref,
+                       dt=dt, h=h, eps=eps, b_alpha=b_alpha,
+                       b_beta=b_beta, t_amb=t_amb)
 
     if ty is None:
         _stream_tiles((u_hbm, v_hbm, w_hbm, d_hbm, t_hbm),
@@ -1082,6 +1093,150 @@ def project3d_whole_pallas(u, v, w, iters: int, red_black: bool = True,
     return outs
 
 
+def _step_whole_kernel(u_hbm, v_hbm, w_hbm, d_hbm, t_hbm,
+                       uo, vo_, wo, do_, to,
+                       vu, vv, vw, vd, vt, vp, vdiv, va, vb, vc, sems,
+                       *, n_full, y_hi, z_hi, dt, h, iters, red_black,
+                       eps, b_alpha, b_beta, t_amb, visc_ac, diff_ac,
+                       temp_ac, dt0):
+    """One ENTIRE 3D stable-fluids step in a single kernel call for
+    grids whose working set fits VMEM (step_whole_ok): forcing ->
+    diffuse(u,v,w) -> project -> advect(u,v,w) -> project ->
+    diffuse(dens/temp) -> advect(dens,temp), composed from the same
+    stage helpers the windowed kernels run (_forcing_stage,
+    _jacobi_whole_loop, _div_stage, _gradsub_stage, _advect_stage) —
+    so the result is bit-identical to the multi-call step (tested).
+    Replaces ~6 kernel calls + their HBM round trips per step."""
+    cps = []
+    for i, (src, dstv) in enumerate(((u_hbm, vu), (v_hbm, vv),
+                                     (w_hbm, vw), (d_hbm, vd),
+                                     (t_hbm, vt))):
+        cp = pltpu.make_async_copy(src, dstv, sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    shape = vu.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
+                & (jj <= y_hi - 1) & (kk <= z_hi))
+    if red_black:
+        chk = ((gi + jj + kk) % 2) == 0
+        rb_masks = (interior & chk, interior & (~chk))
+    else:
+        rb_masks = (interior,)
+    zedges = _lane_edges(shape, z_hi)
+
+    def bnd_ref(ref, b):
+        sx, sy, _ = _bnd_scales(b)
+        _face_fix_ref(ref, True, True, p=n_full, sx=sx, sy=sy,
+                      y_hi=y_hi)
+
+    if eps or b_alpha or b_beta:
+        _forcing_stage(vu, vv, vw, vd, vt, interior, zedges, bnd_ref,
+                       dt=dt, h=h, eps=eps, b_alpha=b_alpha,
+                       b_beta=b_beta, t_amb=t_amb)
+
+    def diffuse(ref, b, ac):
+        a, c = ac
+        sx, sy, sz = _bnd_scales(b)
+        _jacobi_whole_loop(ref, ref[...], (interior,), zedges, a=a,
+                           c_inv=1.0 / c, sx=sx, sy=sy, sz=sz,
+                           n_full=n_full, y_hi=y_hi, iters=iters)
+
+    if visc_ac is not None:
+        diffuse(vu, 1, visc_ac)
+        diffuse(vv, 2, visc_ac)
+        diffuse(vw, 3, visc_ac)
+
+    def project():
+        _div_stage(vu, vv, vw, vdiv, interior, zedges, h=h, p=n_full,
+                   y_hi=y_hi, is_first=True, is_last=True)
+        vp[...] = jnp.zeros(shape, jnp.float32)
+        _jacobi_whole_loop(vp, vdiv[...], rb_masks, zedges, a=1.0,
+                           c_inv=1.0 / 6.0, sx=1.0, sy=1.0, sz=1.0,
+                           n_full=n_full, y_hi=y_hi, iters=iters)
+        _gradsub_stage(vp[...], ((0, vu, 1), (1, vv, 2), (2, vw, 3)),
+                       interior, zedges, h=h, p=n_full, y_hi=y_hi,
+                       is_first=True, is_last=True)
+
+    project()
+    _advect_stage(vu, vv, vw, (vu, vv, vw), (va, vb, vc), 0, 0,
+                  p=n_full, n_full=n_full, gn=n_full, y_hi=y_hi,
+                  z_hi=z_hi, dt0=dt0, bnds=(1, 2, 3))
+    vu[...] = va[...]
+    vv[...] = vb[...]
+    vw[...] = vc[...]
+    project()
+    if diff_ac is not None:
+        diffuse(vd, 0, diff_ac)
+    if temp_ac is not None:
+        diffuse(vt, 0, temp_ac)
+    _advect_stage(vu, vv, vw, (vd, vt), (va, vb), 0, 0, p=n_full,
+                  n_full=n_full, gn=n_full, y_hi=y_hi, z_hi=z_hi,
+                  dt0=dt0, bnds=(0, 0))
+    vd[...] = va[...]
+    vt[...] = vb[...]
+
+    wcps = []
+    for i, (ref, out) in enumerate(((vu, uo), (vv, vo_), (vw, wo),
+                                    (vd, do_), (vt, to))):
+        cp = pltpu.make_async_copy(ref, out, sems.at[i])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
+def step_whole_ok(shape):
+    """True when the fused whole-step kernel fits ``shape`` (10
+    resident buffers + the forcing stage's ~8 full-array temporaries;
+    ~<=80^3 at f32)."""
+    n_full, y_true, z_true = shape
+    yp, zp = zg_extents(y_true, z_true)
+    return n_full * yp * zp * 4 <= 3 * 1024 * 1024 + 512 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "iters", "red_black", "dt", "h", "eps", "b_alpha", "b_beta",
+    "t_amb", "visc_ac", "diff_ac", "temp_ac", "dt0", "true_extents"))
+def step3d_whole_pallas(u, v, w, dens, temp, *, iters, red_black, dt,
+                        h, eps, b_alpha, b_beta, t_amb, visc_ac,
+                        diff_ac, temp_ac, dt0, true_extents=None):
+    """Fused whole 3D step (see _step_whole_kernel).  ``visc_ac`` /
+    ``diff_ac`` / ``temp_ac``: the diffuse (a, c) coefficient pairs or
+    None when that diffusion is off.  Dispatched by stam.step3d when
+    step_whole_ok and the config is the jacobi/stencil pallas path."""
+    ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
+        (u, v, w, dens, temp), true_extents)
+    shape = ins[0].shape
+    kern = functools.partial(
+        _step_whole_kernel, n_full=n_full, y_hi=y_true - 1,
+        z_hi=z_true - 3, dt=dt, h=h, iters=iters, red_black=red_black,
+        eps=eps, b_alpha=b_alpha, b_beta=b_beta, t_amb=t_amb,
+        visc_ac=visc_ac, diff_ac=diff_ac, temp_ac=temp_ac, dt0=dt0)
+    outs = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 5),
+        out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(5)),
+        scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                        for _ in range(10)]
+                       + [pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+    if standalone:
+        outs = tuple(zg_restore(o, b, y_true, z_true)
+                     for o, b in zip(outs, (1, 2, 3, 0, 0)))
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # fused multi-field 27-tap semi-Lagrangian advection
 
@@ -1120,95 +1275,108 @@ def _advect_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, *rest, n_full, gn,
         vu, vv, vw = refs[:3]
         vf = refs[:3] if self_advect else refs[3:3 + k]
         vo = refs[n_in:n_in + k]
-        pshape = (1,) + vu.shape[1:]
-        jj = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
-        kk = jax.lax.broadcasted_iota(jnp.int32, pshape, 2)
-        jjf = jj.astype(jnp.float32)
-        kkf = kk.astype(jnp.float32) + 1.0   # lane k holds true z = k+1
-        yz_int = ((jj >= 1) & (jj <= y_hi - 1) & (kk <= z_hi))
-        elo, ehi = _lane_edges(pshape, z_hi)
-        szs = [(-1.0 if b == 3 else 1.0) for b in bnds]
-
-        def hat(o, d):
-            return jnp.maximum(0.0, 1.0 - jnp.abs(o - d))
-
-        def plane(ref, j):
-            return ref[pl.ds(j, 1)]
-
-        def body(j, _):
-            gi = wlo + j + gx0_ref[0]     # GLOBAL dense row index
-            gif = gi.astype(jnp.float32)
-
-            def offs(vel, coord, extent):
-                o = jnp.clip(-dt0 * vel, -1.0, 1.0)
-                # per-cell source clamp to [0.5, n_axis + 0.5] where
-                # n_axis = extent - 2 interior cells, matching the
-                # dense stencil advection
-                return jnp.clip(o, 0.5 - coord, extent - 1.5 - coord)
-
-            ox = offs(plane(vu, j), gif, jnp.float32(gn))
-            oy = offs(plane(vv, j), jjf, jnp.float32(y_hi + 1))
-            oz = offs(plane(vw, j), kkf, jnp.float32(z_hi + 3))
-            wxs = [hat(ox, d) for d in (-1, 0, 1)]
-            wys = [hat(oy, d) for d in (-1, 0, 1)]
-            wz_m1, wz_0, wz_p1 = (hat(oz, d) for d in (-1, 0, 1))
-            # the unstored z-ghost value equals sz * the center tap
-            # (set_bnd invariant), so the edge lanes' dz=+-1 weight
-            # folds onto the center with scale sz.  One rounding
-            # different from the dense two-product sum (tests use
-            # atol); taps then stay plain shifts with zero fill.
-            edge_w = (jnp.where(elo, wz_m1, 0.0)
-                      + jnp.where(ehi, wz_p1, 0.0))
-            wz_m1 = jnp.where(elo, 0.0, wz_m1)
-            wz_p1 = jnp.where(ehi, 0.0, wz_p1)
-            wz0 = {s: wz_0 + s * edge_w for s in set(szs)}
-
-            outs = [jnp.zeros(pshape, jnp.float32) for _ in range(k)]
-            ctr = [None] * k
-            for dx in (-1, 0, 1):
-                fx = [plane(vf[q], j + dx) for q in range(k)]
-                if dx == 0:
-                    ctr = fx
-                for dy in (-1, 0, 1):
-                    wxy = wxs[dx + 1] * wys[dy + 1]
-                    fxy = [_shift(f, dy, 1) for f in fx]
-                    wgt_m1 = wxy * wz_m1
-                    wgt_p1 = wxy * wz_p1
-                    wgt_0 = {s: wxy * w0 for s, w0 in wz0.items()}
-                    for q in range(k):
-                        outs[q] = (outs[q]
-                                   + wgt_m1 * _shift(fxy[q], -1, 2)
-                                   + wgt_0[szs[q]] * fxy[q]
-                                   + wgt_p1 * _shift(fxy[q], 1, 2))
-
-            ok = yz_int & (gi >= 1) & (gi <= gn - 2)
-            for q in range(k):
-                vo[q][pl.ds(j, 1)] = jnp.where(ok, outs[q], ctr[q])
-            return 0
-
-        # planes 0 / p-1 lack a window neighbor; they are only live at
-        # the domain faces, where the face fix rewrites them below
-        jax.lax.fori_loop(1, p - 1, body, 0, unroll=False)
-
-        # global domain x-faces only (an interior x-slab's array edges
-        # are halo planes, discarded by the caller)
-        is_first = (wlo == 0) & (gx0_ref[0] == 0)
-        is_last = (wlo == n_full - p) & (gx0_ref[0] + n_full == gn)
-        for q in range(k):
-            # seed the never-computed edge planes from the input field
-            # (their retained values are either face-fix overwritten or
-            # outside the export span; the copy just keeps every VMEM
-            # read below initialized, per the kernel conventions)
-            vo[q][pl.ds(0, 1)] = plane(vf[q], 0)
-            vo[q][pl.ds(p - 1, 1)] = plane(vf[q], p - 1)
-            sx, sy, _ = _bnd_scales(bnds[q])
-            _face_fix_ref(vo[q], is_first, is_last, p=p, sx=sx, sy=sy,
-                          y_hi=y_hi)
+        _advect_stage(vu, vv, vw, vf, vo, wlo, gx0_ref[0], p=p,
+                      n_full=n_full, gn=gn, y_hi=y_hi, z_hi=z_hi,
+                      dt0=dt0, bnds=bnds)
 
     _stream_tiles((u_hbm, v_hbm, w_hbm) + tuple(f_hbm),
                   tuple((n_in + q, o_hbm[q]) for q in range(k)),
                   vbuf, in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
                   compute=compute, pipeline=pipeline, n_bufs=n_in + k)
+
+
+def _advect_stage(vu, vv, vw, vf, vo, wlo, gx0, *, p, n_full, gn, y_hi,
+                  z_hi, dt0, bnds):
+    """27-tap stencil-advection compute body shared by the windowed
+    _advect_kernel and the fused whole-step kernel (one copy keeps the
+    bit-compatibility from drifting).  ``vf``/``vo``: source / output
+    window refs per field; ``gx0`` the global dense row of array row
+    0."""
+    k = len(bnds)
+    pshape = (1,) + vu.shape[1:]
+    jj = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, pshape, 2)
+    jjf = jj.astype(jnp.float32)
+    kkf = kk.astype(jnp.float32) + 1.0   # lane k holds true z = k+1
+    yz_int = ((jj >= 1) & (jj <= y_hi - 1) & (kk <= z_hi))
+    elo, ehi = _lane_edges(pshape, z_hi)
+    szs = [(-1.0 if b == 3 else 1.0) for b in bnds]
+
+    def hat(o, d):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(o - d))
+
+    def plane(ref, j):
+        return ref[pl.ds(j, 1)]
+
+    def body(j, _):
+        gi = wlo + j + gx0            # GLOBAL dense row index
+        gif = gi.astype(jnp.float32)
+
+        def offs(vel, coord, extent):
+            o = jnp.clip(-dt0 * vel, -1.0, 1.0)
+            # per-cell source clamp to [0.5, n_axis + 0.5] where
+            # n_axis = extent - 2 interior cells, matching the
+            # dense stencil advection
+            return jnp.clip(o, 0.5 - coord, extent - 1.5 - coord)
+
+        ox = offs(plane(vu, j), gif, jnp.float32(gn))
+        oy = offs(plane(vv, j), jjf, jnp.float32(y_hi + 1))
+        oz = offs(plane(vw, j), kkf, jnp.float32(z_hi + 3))
+        wxs = [hat(ox, d) for d in (-1, 0, 1)]
+        wys = [hat(oy, d) for d in (-1, 0, 1)]
+        wz_m1, wz_0, wz_p1 = (hat(oz, d) for d in (-1, 0, 1))
+        # the unstored z-ghost value equals sz * the center tap
+        # (set_bnd invariant), so the edge lanes' dz=+-1 weight
+        # folds onto the center with scale sz.  One rounding
+        # different from the dense two-product sum (tests use
+        # atol); taps then stay plain shifts with zero fill.
+        edge_w = (jnp.where(elo, wz_m1, 0.0)
+                  + jnp.where(ehi, wz_p1, 0.0))
+        wz_m1 = jnp.where(elo, 0.0, wz_m1)
+        wz_p1 = jnp.where(ehi, 0.0, wz_p1)
+        wz0 = {s: wz_0 + s * edge_w for s in set(szs)}
+
+        outs = [jnp.zeros(pshape, jnp.float32) for _ in range(k)]
+        ctr = [None] * k
+        for dx in (-1, 0, 1):
+            fx = [plane(vf[q], j + dx) for q in range(k)]
+            if dx == 0:
+                ctr = fx
+            for dy in (-1, 0, 1):
+                wxy = wxs[dx + 1] * wys[dy + 1]
+                fxy = [_shift(f, dy, 1) for f in fx]
+                wgt_m1 = wxy * wz_m1
+                wgt_p1 = wxy * wz_p1
+                wgt_0 = {s: wxy * w0 for s, w0 in wz0.items()}
+                for q in range(k):
+                    outs[q] = (outs[q]
+                               + wgt_m1 * _shift(fxy[q], -1, 2)
+                               + wgt_0[szs[q]] * fxy[q]
+                               + wgt_p1 * _shift(fxy[q], 1, 2))
+
+        ok = yz_int & (gi >= 1) & (gi <= gn - 2)
+        for q in range(k):
+            vo[q][pl.ds(j, 1)] = jnp.where(ok, outs[q], ctr[q])
+        return 0
+
+    # planes 0 / p-1 lack a window neighbor; they are only live at
+    # the domain faces, where the face fix rewrites them below
+    jax.lax.fori_loop(1, p - 1, body, 0, unroll=False)
+
+    # global domain x-faces only (an interior x-slab's array edges
+    # are halo planes, discarded by the caller)
+    is_first = (wlo == 0) & (gx0 == 0)
+    is_last = (wlo == n_full - p) & (gx0 + n_full == gn)
+    for q in range(k):
+        # seed the never-computed edge planes from the input field
+        # (their retained values are either face-fix overwritten or
+        # outside the export span; the copy just keeps every VMEM
+        # read below initialized, per the kernel conventions)
+        vo[q][pl.ds(0, 1)] = plane(vf[q], 0)
+        vo[q][pl.ds(p - 1, 1)] = plane(vf[q], p - 1)
+        sx, sy, _ = _bnd_scales(bnds[q])
+        _face_fix_ref(vo[q], is_first, is_last, p=p, sx=sx, sy=sy,
+                      y_hi=y_hi)
 
 
 @functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx",

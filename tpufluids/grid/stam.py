@@ -798,6 +798,35 @@ def step3d(state: GridState3D, cfg: StamConfig,
         _pad = lambda a: a
         _unpad = lambda a, b=0: a
 
+    if fused_advect and not with_residual and _use_pallas(cfg):
+        from tpufluids.grid.pallas_kernels import (step3d_whole_pallas,
+                                                   step_whole_ok)
+        if (cfg.projection == "jacobi"
+                and cfg.solver_dtype != "bfloat16"
+                and step_whole_ok((u.shape[0], y_true, z_true))):
+            # fused whole step: ONE kernel call runs the entire step
+            # with every field resident in VMEM (small grids;
+            # bit-identical to the multi-call path, tested)
+            def _ac(c):
+                a = cfg.dt * c * n_ * n_
+                return (float(a), float(1.0 + 6.0 * a))
+
+            u, v, w, dens, temp = step3d_whole_pallas(
+                u, v, w, dens, temp, iters=cfg.jacobi_iters,
+                red_black=cfg.red_black, dt=float(cfg.dt), h=1.0 / n_,
+                eps=float(cfg.vorticity_eps),
+                b_alpha=float(cfg.buoyancy_alpha),
+                b_beta=float(cfg.buoyancy_beta),
+                t_amb=float(cfg.ambient_temp),
+                visc_ac=_ac(cfg.visc) if cfg.visc else None,
+                diff_ac=_ac(cfg.diff) if cfg.diff else None,
+                temp_ac=_ac(cfg.temp_diff) if cfg.temp_diff else None,
+                dt0=float(cfg.dt * n_), true_extents=te)
+            if not zg_in:
+                u, v, w = _unpad(u, 1), _unpad(v, 2), _unpad(w, 3)
+                dens, temp = _unpad(dens), _unpad(temp)
+            return GridState3D(u=u, v=v, w=w, dens=dens, temp=temp)
+
     if _use_pallas(cfg) and (cfg.buoyancy_alpha or cfg.buoyancy_beta
                              or cfg.vorticity_eps):
         from tpufluids.grid.pallas_kernels import forcing3d_pallas
