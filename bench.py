@@ -25,7 +25,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _arm_tunnel_watchdog(seconds=600):
+    """The axon tunnel occasionally goes down for hours; `import jax`
+    or jax.devices() then HANGS (no exception).  If the first device op
+    hasn't completed within ``seconds``, print a fallback JSON line so
+    the driver records an explained failure instead of a hung/empty
+    bench, and exit."""
+    import os
+    import threading
+
+    seconds = int(os.environ.get("BENCH_TUNNEL_TIMEOUT", seconds))
+
+    armed = threading.Event()
+
+    def watchdog():
+        if not armed.wait(seconds):
+            print(json.dumps({
+                "metric": "cell_updates_per_sec_per_chip", "value": 0,
+                "unit": "cell-updates/s/chip", "vs_baseline": 0.0,
+                "error": ("TPU tunnel unreachable: jax.devices() did "
+                          f"not respond within {seconds}s")}),
+                flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return armed
+
+
 def main():
+    watchdog_ok = _arm_tunnel_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -51,6 +79,7 @@ def main():
     from tpufluids.grid import stam
 
     dev = jax.devices()[0]
+    watchdog_ok.set()
     log(f"device: {dev}, grid {n}^3, {steps} steps")
 
     # dt keeps CFL <= 1 cell for the stencil advection backend
