@@ -805,3 +805,19 @@ def test_rowblock_unidyn_subbin_matches_xla_interpret():
         scale = max(1.0, np.abs(a).max())
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
                                    err_msg=name)
+
+
+def test_kernel_family_auto_resolution():
+    """'auto' picks rowblock up to the measured crossover pool size and
+    the capped column family above it; explicit names pass through."""
+    from tpufluids.config import BASE_CONFIG
+    from tpufluids.step import ROWBLOCK_MAX_POOL, resolve_kernel_family
+    cfg = BASE_CONFIG  # pallas_kernel="auto"
+    assert cfg.pallas_kernel == "auto"
+    assert resolve_kernel_family(cfg, 8000) == "rowblock"
+    assert resolve_kernel_family(cfg, ROWBLOCK_MAX_POOL) == "rowblock"
+    assert resolve_kernel_family(cfg, ROWBLOCK_MAX_POOL + 1) == "column"
+    for name in ("rowblock", "column"):
+        c = cfg.replace(pallas_kernel=name)
+        assert resolve_kernel_family(c, 8000) == name
+        assert resolve_kernel_family(c, 10_000_000) == name

@@ -92,15 +92,16 @@ def run_sph(args):
         cfg = BASE_CONFIG
         state = base_dam(cfg, n=args.particles or 8000)
         varnames = ("dens", "cellnumber")   # solver.cu:108
+        from tpufluids.step import resolve_kernel_family
         if (args.particles and args.particles != 8000
-                and cfg.pallas_kernel == "column"):
+                and resolve_kernel_family(cfg, state.capacity) == "column"):
             # the preset pallas_col_cap is tuned to the default
             # 8000-particle dam; a larger dam packs taller (x, y)
             # columns, which would overflow the COLUMN kernel family
             # (dropped force pairs, surfaced only via bin_overflow) —
             # derive the cap from the actual initial occupancy instead.
-            # The default rowblock family has no capacity cap and never
-            # reads pallas_col_cap.
+            # The rowblock family has no capacity cap and never reads
+            # pallas_col_cap.
             from tpufluids.binning import suggest_col_cap
             cfg = cfg.replace(pallas_col_cap=suggest_col_cap(state, cfg))
     else:

@@ -165,10 +165,15 @@ class SPHConfig:
     pallas_w_chunk: int = 64
     # Pallas force-kernel family: "rowblock" (home block = 128
     # consecutive sorted rows — full lane utilization, NO capacity cap,
-    # overflow impossible) or "column" (one (x,y) grid column per
-    # program, pallas_col_cap-padded tiles).  The sharded slab path
-    # always uses "column" (rowblock is full-cube only).
-    pallas_kernel: str = "rowblock"
+    # overflow impossible), "column" (one (x,y) grid column per
+    # program, pallas_col_cap-padded tiles), or "auto" (rowblock up to
+    # ROWBLOCK_MAX_POOL rows, column above — the measured v5e
+    # crossover: rowblock wins 4.5/25.1 vs 7.6/28.2 ms/step at
+    # 32k/131k uniform fill but loses 156 vs 132 at 524k, where the
+    # rowblock windows span too many cells;
+    # verify/bench_sph_scaling_ab.py).  The sharded slab path always
+    # uses "column" (rowblock is full-cube only).
+    pallas_kernel: str = "auto"
     # dense neighbor-run capacity: each of the 9 (dx,dy) stencil runs covers
     # the contiguous cells (z-1, z, z+1) and holds at most 3*max_per_cell
     # particle slots; overflow is deterministic (highest-rank dropped) and

@@ -37,6 +37,22 @@ class StepMetrics(NamedTuple):
     n_split: jax.Array
 
 
+# "auto" kernel-family crossover (pool rows): the rowblock family's
+# 128-consecutive-sorted-rows home blocks win below this size, but at
+# very large N each block's rows span so many (x, y) columns that its
+# neighbor window outgrows the column family's capped tiles (measured
+# v5e crossover between 131k and 524k uniform fill — 25.1 vs 28.2 and
+# 156 vs 132 ms/step; verify/bench_sph_scaling_ab.py).
+ROWBLOCK_MAX_POOL = 262144
+
+
+def resolve_kernel_family(cfg: SPHConfig, capacity: int) -> str:
+    """Resolve cfg.pallas_kernel ("auto" picks by static pool size)."""
+    if cfg.pallas_kernel == "auto":
+        return "rowblock" if capacity <= ROWBLOCK_MAX_POOL else "column"
+    return cfg.pallas_kernel
+
+
 def resolve_subbin(cfg: SPHConfig, subbin_parity) -> bool:
     """Per-call override (bool) or the config default (None) — the
     UNIDYN preset defaults to True, the reference's active two-level
@@ -72,7 +88,8 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
     use_pallas = use_pallas_forces(cfg, subbin_parity)
     assert order is None or use_pallas, \
         "sort_tables mode needs the Pallas backend"
-    rowblock = grid is None and cfg.pallas_kernel == "rowblock"
+    rowblock = (grid is None
+                and resolve_kernel_family(cfg, state.capacity) == "rowblock")
     if use_pallas and cfg.variant == "base":
         from tpufluids.forces import ForceAccum
         from tpufluids.sph_pallas import (base_forces_pallas,
