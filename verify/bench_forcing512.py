@@ -21,7 +21,11 @@ shape = (n + 2,) * 3
 ks = jax.random.split(jax.random.PRNGKey(0), 5)
 u, v, w, d, t = (jax.random.normal(k, shape, jnp.float32) * 0.1
                  for k in ks)
-args = (u, v, w, d, t, 0.001, 1.0 / n, 2.0, 0.05, 0.5, 0.0)
+args = (u, v, w, d, t)
+# dt/h/eps/buoyancy params are STATIC in forcing3d_pallas (Python
+# branches on them) — close over them instead of passing through jit.
+scal = dict(dt=0.001, h=1.0 / n, eps=2.0, b_alpha=0.05, b_beta=0.5,
+            t_amb=0.0)
 
 CANDS = [("auto", dict()),
          ("tx=16 ty=128", dict(tx=16, ty=128)),
@@ -32,7 +36,8 @@ CANDS = [("auto", dict()),
 fns, ref = {}, None
 for name, kw in CANDS:
     try:
-        f = jax.jit(lambda *a, kw=kw: pk.forcing3d_pallas(*a, **kw))
+        f = jax.jit(lambda *a, kw=kw: pk.forcing3d_pallas(
+            *a, **scal, **kw))
         r = f(*args)
         if ref is None:
             ref = r
