@@ -343,6 +343,27 @@ def test_packed_rb_solver_matches_dense_interpret(rand3d, b, fuse,
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("b", [0, 1])
+def test_packed_rb_solver_serial_deepfuse_interpret(b):
+    """The single-slot fuse=4 window (rb_packed_plan's large-plane
+    fallback, picked at 512^3) needs an x extent that hosts its
+    halo=8: a 32^3 grid (vs the fixture's 14^3) hosts the p=24
+    window."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
+
+    rng = np.random.default_rng(3)
+    shape = (34, 34, 34)
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    x0 = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    x = stam.set_bnd3d(b, x)
+    ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = lin_solve3d_rb_packed(b, x, x0, 1.0, 6.0, 4, tx=8,
+                                    fuse=4, pipeline=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.parametrize("b", [0, 3])
 @pytest.mark.parametrize("ty,fuse,pipeline", [(4, 1, True), (8, 2, True),
                                               (4, 2, False)])
@@ -551,10 +572,12 @@ def test_rb_packed_plan_degrades_with_grid_size():
     # 256^3: deep fuse, pipelined, useful tile
     tx, fuse, pipe = rb_packed_plan((258, 258, 258), 20)
     assert fuse == 4 and pipe and tx >= 16
-    # 512^3: planes are 4x larger; plan must still return a runnable
-    # config (shallower fuse and/or unpipelined, tile >= 1)
+    # 512^3: planes are 4x larger; the pipelined fuse=4 window does not
+    # fit, and the measured-best fallback is the single-slot deep-fuse
+    # window (83.2 ms vs 99.2 for pipelined tx=8 fuse=2,
+    # verify/bench_rb512_plans.py)
     tx5, fuse5, pipe5 = rb_packed_plan((514, 514, 514), 20)
-    assert tx5 >= 1 and fuse5 in (1, 2, 4) and 20 % fuse5 == 0
+    assert fuse5 == 4 and not pipe5 and tx5 >= 12
     assert (tx5 + 4 * fuse5) <= 514
     # small grids: whole-solve mode (tx=n_full, fuse=iters signals the
     # single-call resident-in-VMEM kernel)

@@ -1861,6 +1861,16 @@ def rb_packed_plan(shape, iters):
                      budget=70 * 1024 * 1024)
         if tx >= 8:
             return tx, fuse, True
+        if fuse == 4:
+            # large-plane fallback (512^3): single-slot windows fit
+            # ~2x the planes, so the deep fuse survives without the
+            # double buffer — measured 83.2 ms vs 99.2 for the thin
+            # pipelined fuse=2 window and 104.8 for serial fuse=2
+            # (verify/bench_rb512_plans.py, 20-iter solve at 512^3)
+            txs = _fit_tx(24, 4, halo, n_full, yhp, zp, slots=1,
+                          budget=88 * 1024 * 1024)
+            if txs >= 12:
+                return txs, 4, False
     for fuse in (2, 1):
         if iters % fuse:
             continue

@@ -232,7 +232,7 @@ def _divergence_local(u, v, w, n, n_dev):
         + w[:, 1:-1, 2:] - w[:, 1:-1, :-2])
 
 
-def _project_local(u, v, w, cfg, n, n_dev):
+def _project_local(u, v, w, cfg, n, n_dev, with_residual=True):
     h = 1.0 / n
     div = jnp.zeros_like(u).at[:, 1:-1, 1:-1].set(
         _divergence_local(u, v, w, n, n_dev))
@@ -251,6 +251,8 @@ def _project_local(u, v, w, cfg, n, n_dev):
     u = _set_bnd_yz(1, u)
     v = _set_bnd_yz(2, v)
     w = _set_bnd_yz(3, w)
+    if not with_residual:
+        return u, v, w, jnp.float32(0)
     # Poisson residual (global max via pmax), reusing the halo'd p
     nb = (pp[:-2, 1:-1, 1:-1] + pp[2:, 1:-1, 1:-1]
           + pp[1:-1, :-2, 1:-1] + pp[1:-1, 2:, 1:-1]
@@ -299,7 +301,8 @@ def _vorticity_local(u, v, w, cfg, n, n_dev):
     return _set_bnd_yz(1, u), _set_bnd_yz(2, v), _set_bnd_yz(3, w)
 
 
-def _step_local(u, v, w, dens, temp, cfg: StamConfig, n: int, n_dev: int):
+def _step_local(u, v, w, dens, temp, cfg: StamConfig, n: int, n_dev: int,
+                with_residual=True):
     if cfg.buoyancy_alpha or cfg.buoyancy_beta:
         f = (-cfg.buoyancy_alpha * dens[:, 1:-1, 1:-1]
              + cfg.buoyancy_beta * (temp[:, 1:-1, 1:-1] - cfg.ambient_temp))
@@ -311,12 +314,14 @@ def _step_local(u, v, w, dens, temp, cfg: StamConfig, n: int, n_dev: int):
         u = _lin_solve_local(1, u, u, a, 1 + 6 * a, cfg.jacobi_iters, n_dev)
         v = _lin_solve_local(2, v, v, a, 1 + 6 * a, cfg.jacobi_iters, n_dev)
         w = _lin_solve_local(3, w, w, a, 1 + 6 * a, cfg.jacobi_iters, n_dev)
-    u, v, w, _ = _project_local(u, v, w, cfg, n, n_dev)
+    u, v, w, _ = _project_local(u, v, w, cfg, n, n_dev,
+                                with_residual=False)
     u0, v0, w0 = u, v, w
     u = _advect_local(1, u0, u0, v0, w0, cfg, n_dev, n)
     v = _advect_local(2, v0, u0, v0, w0, cfg, n_dev, n)
     w = _advect_local(3, w0, u0, v0, w0, cfg, n_dev, n)
-    u, v, w, res = _project_local(u, v, w, cfg, n, n_dev)
+    u, v, w, res = _project_local(u, v, w, cfg, n, n_dev,
+                                  with_residual=with_residual)
     if cfg.diff:
         a = cfg.dt * cfg.diff * n * n
         dens = _lin_solve_local(0, dens, dens, a, 1 + 6 * a,
@@ -338,27 +343,31 @@ def _step_local(u, v, w, dens, temp, cfg: StamConfig, n: int, n_dev: int):
 # iterations instead of once per sweep.
 
 
-def _halo_zg(a, sx, n_dev, h):
-    """Pad a z-ghostless slab (c, yp, zp) with ``h`` x-planes per side:
-    neighbor planes over ICI; at domain edges the set_bnd ghost
-    sx * edge-plane sits at pad row h-1 (low) / 0 (high), any remaining
-    pad rows are zero junk that the kernels' global interior masks and
-    face gates wall off."""
-    idx = jax.lax.axis_index(AXIS) if n_dev > 1 else 0
+def _refresh_halo(q, b, n_dev):
+    """Rewrite the 2 pad rows on each side of a PERSISTENTLY padded
+    z-ghostless slab (c+4, yp, zp; interior rows [2:-2]) in place:
+    rows [0:2] / [-2:] become the neighbor's two adjacent interior
+    rows over ICI, or at the domain x-faces the set_bnd ghost
+    (sx * edge row at the adjacent pad row, zero junk beyond it that
+    the kernels' global interior masks and face gates wall off) —
+    2-row writes instead of a per-stage full-array concatenate copy.
+    Kernel outputs carry garbage pad rows; calling this before every
+    stencil read re-validates them."""
+    sx = _sx(b)
+    zero = jnp.zeros_like(q[0:1])
+    lo_edge = jnp.concatenate([zero, sx * q[2:3]], axis=0)
+    hi_edge = jnp.concatenate([sx * q[-3:-2], zero], axis=0)
     if n_dev > 1:
+        idx = jax.lax.axis_index(AXIS)
         right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        from_left = jax.lax.ppermute(a[-h:], AXIS, right)
-        from_right = jax.lax.ppermute(a[:h], AXIS, left)
+        from_left = jax.lax.ppermute(q[-4:-2], AXIS, right)
+        from_right = jax.lax.ppermute(q[2:4], AXIS, left)
+        lo = jnp.where(idx == 0, lo_edge, from_left)
+        hi = jnp.where(idx == n_dev - 1, hi_edge, from_right)
     else:
-        from_left = jnp.zeros_like(a[-h:])
-        from_right = jnp.zeros_like(a[:h])
-    gl = (jnp.arange(h) == h - 1)[:, None, None]
-    gh = (jnp.arange(h) == 0)[:, None, None]
-    lo = jnp.where(idx == 0, jnp.where(gl, sx * a[0:1], 0.0), from_left)
-    hi = jnp.where(idx == n_dev - 1, jnp.where(gh, sx * a[-1:], 0.0),
-                   from_right)
-    return jnp.concatenate([lo, a, hi], axis=0)
+        lo, hi = lo_edge, hi_edge
+    return q.at[0:2].set(lo).at[-2:].set(hi)
 
 
 def _sx(b):
@@ -366,9 +375,21 @@ def _sx(b):
 
 
 def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
-                       n_dev: int, te, plan):
-    """One slab-local step on z-ghostless (c, yp, zp) fields using the
-    dense Pallas kernels with global-coordinate placement (gx0/gn)."""
+                       n_dev: int, te, plan, with_residual=True):
+    """One slab-local step on PERSISTENTLY padded z-ghostless
+    (c+4, yp, zp) fields (interior rows [2:-2]) using the dense Pallas
+    kernels with global-coordinate placement (gx0/gn).
+
+    The persistent pad replaces the previous per-stage
+    ``jnp.concatenate`` halo pads and ``[1:-1]`` output slices
+    (~30 full-array XLA copies per step at 256^3): kernels read and
+    write the padded arrays directly, and ``_refresh_halo`` re-validates
+    the 4 pad rows (2-row in-place writes + one 2-plane ppermute each
+    way) before every stencil read.  Kernel placement is unchanged —
+    gx0 = idx*c - 1 is exactly where the old depth-2 forcing pad put
+    row 0, and div/gradsub treat the extra rows as discardable, so the
+    per-cell arithmetic (and the bit-compat vs the dense step) is
+    identical."""
     from tpufluids.grid.pallas_kernels import (advect3d_multi_pallas,
                                                div3d_pallas,
                                                forcing3d_pallas,
@@ -377,74 +398,80 @@ def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
                                                zg_restore)
 
     y_true, z_true = te
-    c = u.shape[0]
+    c = u.shape[0] - 4
     idx = jax.lax.axis_index(AXIS) if n_dev > 1 else 0
     gn = n + 2
     h = 1.0 / n
     tx, fuse, pipeline = plan
+    gx0 = idx * c - 1  # dense-global x of padded row 0
 
-    def pad(q, b, depth=1):
-        return _halo_zg(q, _sx(b), n_dev, depth)
+    def refresh(q, b):
+        return _refresh_halo(q, b, n_dev)
 
-    def solve(b, x, x0, a_, c_, x_zero=False):
+    def repad(q_slab):
+        return jnp.pad(q_slab, ((2, 2), (0, 0), (0, 0)))
+
+    def solve(b, x_slab, x0_slab, a_, c_, x_zero=False):
         return lin_solve3d_rb_shard(
-            b, x, x0, float(a_), float(c_), cfg.jacobi_iters,
+            b, x_slab, x0_slab, float(a_), float(c_), cfg.jacobi_iters,
             axis_name=AXIS, n_dev=n_dev, y_true=y_true, z_true=z_true,
             tx=tx, fuse=fuse, pipeline=pipeline, x_zero=x_zero)
 
+    def solve_padded(b, q, a_, c_):
+        s = q[2:-2]
+        return repad(solve(b, s, s, a_, c_))
+
     if cfg.buoyancy_alpha or cfg.buoyancy_beta or cfg.vorticity_eps:
-        uo, vo, wo = forcing3d_pallas(
-            pad(u, 1, 2), pad(v, 2, 2), pad(w, 3, 2), pad(dens, 0, 2),
-            pad(temp, 0, 2), float(cfg.dt), h, float(cfg.vorticity_eps),
-            float(cfg.buoyancy_alpha), float(cfg.buoyancy_beta),
-            float(cfg.ambient_temp), tx=16, true_extents=te,
-            gx0=idx * c - 1, gn=gn)
-        u, v, w = uo[2:-2], vo[2:-2], wo[2:-2]
+        u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
+        dens, temp = refresh(dens, 0), refresh(temp, 0)
+        u, v, w = forcing3d_pallas(
+            u, v, w, dens, temp, float(cfg.dt), h,
+            float(cfg.vorticity_eps), float(cfg.buoyancy_alpha),
+            float(cfg.buoyancy_beta), float(cfg.ambient_temp), tx=16,
+            true_extents=te, gx0=gx0, gn=gn)
     if cfg.visc:
         a_ = cfg.dt * cfg.visc * n * n
-        u = solve(1, u, u, a_, 1 + 6 * a_)
-        v = solve(2, v, v, a_, 1 + 6 * a_)
-        w = solve(3, w, w, a_, 1 + 6 * a_)
+        u = solve_padded(1, u, a_, 1 + 6 * a_)
+        v = solve_padded(2, v, a_, 1 + 6 * a_)
+        w = solve_padded(3, w, a_, 1 + 6 * a_)
 
     def project(u, v, w, with_residual=False):
-        up, vp, wp = pad(u, 1), pad(v, 2), pad(w, 3)
-        div = div3d_pallas(up, vp, wp, true_extents=te, h=h)[1:-1]
-        p_ = solve(0, div, div, 1.0, 6.0, x_zero=True)
-        pp = pad(p_, 0)
-        uo, vo, wo = gradsub3d_pallas(pp, up, vp, wp, true_extents=te,
+        u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
+        div = div3d_pallas(u, v, w, true_extents=te, h=h)
+        dslab = div[2:-2]
+        p_ = solve(0, dslab, dslab, 1.0, 6.0, x_zero=True)
+        pp = refresh(repad(p_), 0)
+        uo, vo, wo = gradsub3d_pallas(pp, u, v, w, true_extents=te,
                                       h=h)
-        u, v, w = uo[1:-1], vo[1:-1], wo[1:-1]
         if not with_residual:
-            return u, v, w, jnp.float32(0)
+            return uo, vo, wo, jnp.float32(0)
         pd = zg_restore(p_, 0, y_true, z_true)
-        ppd = zg_restore(pp, 0, y_true, z_true)
-        dd = zg_restore(div, 0, y_true, z_true)
+        ppd = zg_restore(pp[1:-1], 0, y_true, z_true)
+        dd = zg_restore(dslab, 0, y_true, z_true)
         nb = (ppd[:-2, 1:-1, 1:-1] + ppd[2:, 1:-1, 1:-1]
               + pd[:, :-2, 1:-1] + pd[:, 2:, 1:-1]
               + pd[:, 1:-1, :-2] + pd[:, 1:-1, 2:])
         res = jnp.max(jnp.abs(dd[:, 1:-1, 1:-1] + nb
                               - 6.0 * pd[:, 1:-1, 1:-1]))
-        return u, v, w, jax.lax.pmax(res, AXIS) if n_dev > 1 else res
+        return uo, vo, wo, jax.lax.pmax(res, AXIS) if n_dev > 1 else res
 
     u, v, w, _ = project(u, v, w)
-    u0p, v0p, w0p = pad(u, 1), pad(v, 2), pad(w, 3)
-    uo, vo, wo = advect3d_multi_pallas(
-        (u0p, v0p, w0p), (1, 2, 3), u0p, v0p, w0p, float(cfg.dt * n),
-        self_advect=True, true_extents=te, gx0=idx * c, gn=gn)
-    u, v, w = uo[1:-1], vo[1:-1], wo[1:-1]
-    u, v, w, res = project(u, v, w, with_residual=True)
+    u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
+    u, v, w = advect3d_multi_pallas(
+        (u, v, w), (1, 2, 3), u, v, w, float(cfg.dt * n),
+        self_advect=True, true_extents=te, gx0=gx0, gn=gn)
+    u, v, w, res = project(u, v, w, with_residual=with_residual)
 
     if cfg.diff:
         a_ = cfg.dt * cfg.diff * n * n
-        dens = solve(0, dens, dens, a_, 1 + 6 * a_)
+        dens = solve_padded(0, dens, a_, 1 + 6 * a_)
     if cfg.temp_diff:
         a_ = cfg.dt * cfg.temp_diff * n * n
-        temp = solve(0, temp, temp, a_, 1 + 6 * a_)
-    up, vp, wp = pad(u, 1), pad(v, 2), pad(w, 3)
-    do_, to_ = advect3d_multi_pallas(
-        (pad(dens, 0), pad(temp, 0)), (0, 0), up, vp, wp,
-        float(cfg.dt * n), true_extents=te, gx0=idx * c, gn=gn)
-    dens, temp = do_[1:-1], to_[1:-1]
+        temp = solve_padded(0, temp, a_, 1 + 6 * a_)
+    u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
+    dens, temp = advect3d_multi_pallas(
+        (refresh(dens, 0), refresh(temp, 0)), (0, 0), u, v, w,
+        float(cfg.dt * n), true_extents=te, gx0=gx0, gn=gn)
     return u, v, w, dens, temp, res
 
 
@@ -508,29 +535,40 @@ def make_sharded_step(mesh: Mesh, cfg: StamConfig, n_steps: int = 1,
              check_vma=False)
     def run_local(u, v, w, dens, temp):
         if use_pallas:
-            u, v, w = (zg_pad(u, yp, zp), zg_pad(v, yp, zp),
-                       zg_pad(w, yp, zp))
-            dens, temp = zg_pad(dens, yp, zp), zg_pad(temp, yp, zp)
+            # persistent layout across the scan: z-ghostless y/z + 2
+            # pad rows per x side (see _step_local_pallas)
+            xpad = ((2, 2), (0, 0), (0, 0))
+            u, v, w, dens, temp = (
+                jnp.pad(zg_pad(q, yp, zp), xpad)
+                for q in (u, v, w, dens, temp))
 
-        def body(carry, _):
+        def one_step(carry, with_residual):
             u, v, w, dens, temp = carry
             if use_pallas:
                 u, v, w, dens, temp, res = _step_local_pallas(
-                    u, v, w, dens, temp, cfg, n, n_dev, te, plan)
+                    u, v, w, dens, temp, cfg, n, n_dev, te, plan,
+                    with_residual=with_residual)
             else:
                 u, v, w, dens, temp, res = _step_local(
-                    u, v, w, dens, temp, cfg, n, n_dev)
+                    u, v, w, dens, temp, cfg, n, n_dev,
+                    with_residual=with_residual)
             return (u, v, w, dens, temp), res
 
-        (u, v, w, dens, temp), res = jax.lax.scan(
-            body, (u, v, w, dens, temp), None, length=n_steps)
+        def body(carry, _):
+            return one_step(carry, False)
+
+        # residual on the FINAL step only (matches stam.run3d_python):
+        # computing it per scan step costs ~5 extra full-array passes
+        carry, _ = jax.lax.scan(
+            body, (u, v, w, dens, temp), None, length=n_steps - 1)
+        (u, v, w, dens, temp), res = one_step(carry, True)
         if use_pallas:
-            u = zg_restore(u, 1, n + 2, n + 2)
-            v = zg_restore(v, 2, n + 2, n + 2)
-            w = zg_restore(w, 3, n + 2, n + 2)
-            dens = zg_restore(dens, 0, n + 2, n + 2)
-            temp = zg_restore(temp, 0, n + 2, n + 2)
-        return (u, v, w, dens, temp), res[-1]
+            u = zg_restore(u[2:-2], 1, n + 2, n + 2)
+            v = zg_restore(v[2:-2], 2, n + 2, n + 2)
+            w = zg_restore(w[2:-2], 3, n + 2, n + 2)
+            dens = zg_restore(dens[2:-2], 0, n + 2, n + 2)
+            temp = zg_restore(temp[2:-2], 0, n + 2, n + 2)
+        return (u, v, w, dens, temp), res
 
     @jax.jit
     def step(state: GridState3D):

@@ -51,17 +51,21 @@ def _shift(v, d, axis):
     pad[axis] = (-d, 0)
     return jnp.pad(v[sl(0, L + d)], pad)
 
-def mk(opname):
+def mk(opname, dtype=jnp.float32):
     def kern(x_hbm, o_hbm, vx, vy, sem):
         cp = pltpu.make_async_copy(x_hbm, vx, sem)
         cp.start(); cp.wait()
-        vy[...] = vx[...] * 0.5
+        vy[...] = vx[...] * jnp.asarray(0.5, dtype)
         mask = jax.lax.broadcasted_iota(jnp.int32, SHAPE, 2) == 0
         def body(i, c):
             x = vx[...]
             y = vy[...]
             if opname == 'add':
                 r = x + y
+            elif opname == 'scale':
+                # single-input variant: drops the y load — separates
+                # VMEM-stream cost from op cost
+                r = x * jnp.asarray(1.0001, dtype)
             elif opname == 'fma':
                 r = x * 1.0001 + y
             elif opname == 'lane_shift':
@@ -74,11 +78,12 @@ def mk(opname):
                 r = jnp.where(mask, x, y)
             elif opname == 'halfsweep':
                 # the actual rb half-sweep op mix
-                r = (y + 0.166 * (_shift(x, -1, 0) + _shift(x, 1, 0)
+                c166 = jnp.asarray(0.166, dtype)
+                r = (y + c166 * (_shift(x, -1, 0) + _shift(x, 1, 0)
                      + jnp.where(mask, _shift(x, -1, 1), x)
                      + jnp.where(mask, x, _shift(x, 1, 1))
                      + jnp.where(mask, x, _shift(x, -1, 2))
-                     + jnp.where(mask, x, _shift(x, 1, 2)))) * 0.166
+                     + jnp.where(mask, x, _shift(x, 1, 2)))) * c166
             vx[...] = r
             return c
         jax.lax.fori_loop(0, K, body, 0)
@@ -90,20 +95,30 @@ def mk(opname):
             kern,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.float32),
-            scratch_shapes=[pltpu.VMEM(SHAPE, jnp.float32),
-                            pltpu.VMEM(SHAPE, jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(SHAPE, dtype),
+            scratch_shapes=[pltpu.VMEM(SHAPE, dtype),
+                            pltpu.VMEM(SHAPE, dtype),
                             pltpu.SemaphoreType.DMA],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(x)
+        )(x.astype(dtype))
     return run
 
 x = jax.random.normal(jax.random.PRNGKey(0), SHAPE, jnp.float32)
 nel = x.size
-for op in ('add', 'fma', 'select', 'lane_shift', 'sublane_shift',
-           'plane_shift', 'halfsweep'):
-    f = mk(op)
+# bf16 variants answer whether halving the element width halves the
+# per-pass traversal cost (it would make a bf16 packed solver ~2x)
+for op, dt_ in (('add', jnp.float32), ('scale', jnp.float32),
+                ('fma', jnp.float32),
+                ('select', jnp.float32), ('lane_shift', jnp.float32),
+                ('sublane_shift', jnp.float32),
+                ('plane_shift', jnp.float32),
+                ('halfsweep', jnp.float32),
+                ('add_bf16', jnp.bfloat16), ('scale_bf16', jnp.bfloat16),
+                ('fma_bf16', jnp.bfloat16),
+                ('halfsweep_bf16', jnp.bfloat16)):
+    label = op
+    f = mk(op.replace('_bf16', ''), dt_)
     r = f(x); float(r[0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(3):
@@ -112,4 +127,4 @@ for op in ('add', 'fma', 'select', 'lane_shift', 'sublane_shift',
     dt = (time.perf_counter() - t0) / 3
     per = dt / K / nel * 1e12   # ps per element per iteration
     eops = nel * K / dt / 1e12  # Tera element-ops/s
-    print(f"{op:15s} {dt*1e3:8.2f} ms   {per:7.2f} ps/elem/it  {eops:6.2f} T/s", flush=True)
+    print(f"{label:15s} {dt*1e3:8.2f} ms   {per:7.2f} ps/elem/it  {eops:6.2f} T/s", flush=True)
