@@ -297,11 +297,14 @@ def test_step2d_pallas_solver_matches_xla_interpret():
                                       np.asarray(getattr(ref, f)), f)
 
 
-@pytest.mark.parametrize("ty", [4, 6])
+@pytest.mark.parametrize("ty", [8, 16])
 def test_forcing_pallas_ytiled_interpret(ty):
-    """y-tiled forcing windows (hy=2 halo, dynamic y-face rows) must be
-    bit-compatible with the full-y pallas path; ty=6 leaves a clamped
-    last window."""
+    """y-tiled forcing windows (hy=8 halo — sublane DMA offsets/sizes
+    must be 8-aligned on real TPUs, so ty must be a multiple of 8 and
+    the halo rounds up from the stencil's 2 — plus dynamic y-face
+    rows) must be bit-compatible with the full-y pallas path; a tall-y
+    box keeps the grids tiny elsewhere, and ty=8 leaves clamped
+    windows."""
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import forcing3d_pallas
     rng = np.random.default_rng(6)
@@ -309,7 +312,7 @@ def test_forcing_pallas_ytiled_interpret(ty):
     cfg = stam.StamConfig(n=n, dt=0.02, vorticity_eps=3.0,
                           buoyancy_alpha=0.05, buoyancy_beta=1.0,
                           ambient_temp=0.2)
-    shape = (n + 2,) * 3
+    shape = (n + 2, 50, n + 2)
     u = stam.set_bnd3d(1, jnp.asarray(rng.normal(0, 0.4, shape),
                                       jnp.float32))
     v = stam.set_bnd3d(2, jnp.asarray(rng.normal(0, 0.4, shape),
@@ -364,50 +367,112 @@ def test_packed_rb_solver_serial_deepfuse_interpret(b):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("ty", [8, 16])
+def test_div_gradsub_ytiled_interpret(ty):
+    """y-tiled divergence and gradient-subtraction windows must be
+    bit-compatible with the full-y pallas paths (tall-y box; ty=8
+    leaves clamped windows)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import (div3d_pallas,
+                                               gradsub3d_pallas)
+    rng = np.random.default_rng(9)
+    shape = (14, 50, 14)
+    u = stam.set_bnd3d(1, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    v = stam.set_bnd3d(2, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    w = stam.set_bnd3d(3, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    p_ = stam.set_bnd3d(0, jnp.asarray(rng.normal(0, 0.4, shape),
+                                       jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        dref = div3d_pallas(u, v, w, tx=4)
+        dgot = div3d_pallas(u, v, w, tx=4, ty=ty)
+        gref = gradsub3d_pallas(p_, u, v, w, tx=4)
+        ggot = gradsub3d_pallas(p_, u, v, w, tx=4, ty=ty)
+    np.testing.assert_array_equal(np.asarray(dgot), np.asarray(dref))
+    for a, b in zip(gref, ggot):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+@pytest.mark.parametrize("self_advect", [True, False])
+def test_advect_ytiled_interpret(self_advect):
+    """y-tiled advection windows must be bit-compatible with the
+    full-y pallas path (tall-y box, clamped windows at ty=8)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
+    rng = np.random.default_rng(11)
+    shape = (14, 50, 14)
+    u = stam.set_bnd3d(1, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    v = stam.set_bnd3d(2, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    w = stam.set_bnd3d(3, jnp.asarray(rng.normal(0, 0.4, shape),
+                                      jnp.float32))
+    if self_advect:
+        fields, bnds = (u, v, w), (1, 2, 3)
+    else:
+        d = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+        t = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+        fields, bnds = (d, t), (0, 0)
+    with pltpu.force_tpu_interpret_mode():
+        ref = advect3d_multi_pallas(fields, bnds, u, v, w, 0.6, tx=4,
+                                    self_advect=self_advect)
+        got = advect3d_multi_pallas(fields, bnds, u, v, w, 0.6, tx=4,
+                                    self_advect=self_advect, ty=8)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 @pytest.mark.parametrize("b", [0, 3])
-@pytest.mark.parametrize("ty,fuse,pipeline", [(4, 1, True), (8, 2, True),
-                                              (4, 2, False)])
+@pytest.mark.parametrize("ty,fuse,pipeline", [(8, 1, True), (8, 2, True),
+                                              (8, 2, False)])
 def test_packed_rb_solver_ytiled_interpret(b, ty, fuse, pipeline):
     """(x, packed-y)-tiled windows (_stream_tiles2d + dynamic y-face
-    fix) must stay bit-compatible with the dense red-black solver.
-    n=16 (16 packed rows) so the fuse=2 window (ty + 8 rows) fits."""
+    fix) must stay bit-compatible with the full-y packed solver (which
+    the dense-equivalence tests pin).  ty must be a multiple of 8 and
+    the y halo rounds up to 8 (real-TPU sublane DMA alignment), so a
+    tall-y box provides enough packed rows for clamped windows while
+    x/z stay tiny."""
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
-    n = 16
-    x = jax.random.normal(jax.random.PRNGKey(3), (n + 2,) * 3,
-                          jnp.float32)
-    x0 = jax.random.normal(jax.random.PRNGKey(4), (n + 2,) * 3,
-                           jnp.float32)
+    shape = (18, 50, 18)
+    x = jax.random.normal(jax.random.PRNGKey(3), shape, jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), shape, jnp.float32)
     x = stam.set_bnd3d(b, x)
-    ref = stam.lin_solve3d(b, x, x0, 1.0, 6.0, 4, red_black=True)
     with pltpu.force_tpu_interpret_mode():
+        ref = lin_solve3d_rb_packed(b, x, x0, 1.0, 6.0, 4, tx=4,
+                                    fuse=fuse, pipeline=pipeline)
         got = lin_solve3d_rb_packed(b, x, x0, 1.0, 6.0, 4, tx=4,
                                     fuse=fuse, pipeline=pipeline, ty=ty)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_packed_rb_solver_ytiled_even_face_interpret():
-    """Odd n -> even y_hi: the hi-face fix sources the row BELOW the
-    face (the other parity branch of _rb_face_fix_y_dyn), and
+    """Even y_hi (odd y extent): the hi-face fix sources the row BELOW
+    the face (the other parity branch of _rb_face_fix_y_dyn), and
     non-dividing y-tiles exercise the clamped last window."""
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.grid.pallas_kernels import lin_solve3d_rb_packed
-    n = 15
-    x = jax.random.normal(jax.random.PRNGKey(3), (n + 2,) * 3,
-                          jnp.float32)
-    x0 = jax.random.normal(jax.random.PRNGKey(4), (n + 2,) * 3,
-                           jnp.float32)
+    shape = (18, 49, 18)  # y_hi = 48, even
+    x = jax.random.normal(jax.random.PRNGKey(3), shape, jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), shape, jnp.float32)
     x = stam.set_bnd3d(0, x)
-    ref = stam.lin_solve3d(0, x, x0, 1.0, 6.0, 4, red_black=True)
     with pltpu.force_tpu_interpret_mode():
+        ref = lin_solve3d_rb_packed(0, x, x0, 1.0, 6.0, 4, tx=4, fuse=2)
         got = lin_solve3d_rb_packed(0, x, x0, 1.0, 6.0, 4, tx=4, fuse=2,
-                                    ty=3)
+                                    ty=8)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-    # a window the face fix cannot serve must be rejected, not wrong:
-    # the last window would start AT the even face row h, whose source
-    # row h-1 lies outside
-    with pytest.raises(ValueError, match="y tile window"):
+    # misaligned tiles must be rejected (real-TPU sublane DMA slices
+    # need 8-aligned offsets/sizes), not compile-failed downstream
+    with pytest.raises(ValueError, match="multiple of 8"):
         lin_solve3d_rb_packed(0, x, x0, 1.0, 6.0, 4, tx=4, fuse=1, ty=4)
+    # a window that exceeds the packed rows must be rejected, not wrong
+    short = (18, 20, 18)
+    xs = jax.random.normal(jax.random.PRNGKey(5), short, jnp.float32)
+    with pytest.raises(ValueError, match="y tile window"):
+        lin_solve3d_rb_packed(0, xs, xs, 1.0, 6.0, 4, tx=4, fuse=1,
+                              ty=8)
 
 
 def test_packed_rb_solver_single_tile_interpret(rand3d):

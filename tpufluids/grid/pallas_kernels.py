@@ -63,7 +63,7 @@ def _shift(v, d, axis):
     return jnp.pad(v[sl(0, L + d)], pad)
 
 
-def _face_fix_ref(vx, is_first, is_last, *, p, sx, sy, y_hi):
+def _face_fix_ref(vx, is_first, is_last, *, p, sx, sy, y_hi, wylo=None):
     """set_bnd applied in-place on the VMEM window ref via thin-slab
     slice assignments, in the dense order (x faces, then y —
     set_bnd3d at stam.py:129-139).  Thin slabs replace the
@@ -74,11 +74,27 @@ def _face_fix_ref(vx, is_first, is_last, *, p, sx, sy, y_hi):
 
     Global x faces exist only at window index 0 of the first tile
     (``is_first``: window start == 0) and index p-1 of the last
-    (``is_last``); other windows write back the identity slab."""
+    (``is_last``); other windows write back the identity slab.
+
+    ``wylo``: window-global y origin for (x, y)-tiled windows
+    (_stream_tiles2d) — the y faces then land at dynamic window rows,
+    gated on the window actually containing them (callers guarantee
+    the last window keeps the y_hi face's source row inside).  None
+    keeps the static full-y form."""
     vx[0:1] = jnp.where(is_first, sx * vx[1:2], vx[0:1])
     vx[p - 1:p] = jnp.where(is_last, sx * vx[p - 2:p - 1], vx[p - 1:p])
-    vx[:, 0:1, :] = sy * vx[:, 1:2, :]
-    vx[:, y_hi:y_hi + 1, :] = sy * vx[:, y_hi - 1:y_hi, :]
+    if wylo is None:
+        vx[:, 0:1, :] = sy * vx[:, 1:2, :]
+        vx[:, y_hi:y_hi + 1, :] = sy * vx[:, y_hi - 1:y_hi, :]
+    else:
+        pyw = vx.shape[1]
+        lo = vx[:, 0:1, :]
+        vx[:, 0:1, :] = jnp.where(wylo == 0, sy * vx[:, 1:2, :], lo)
+        rel = jnp.clip(y_hi - wylo, 1, pyw - 1)
+        hi = vx[:, pl.ds(rel, 1), :]
+        vx[:, pl.ds(rel, 1), :] = jnp.where(
+            (y_hi - wylo) <= pyw - 1,
+            sy * vx[:, pl.ds(rel - 1, 1), :], hi)
 
 
 def _lane_edges(shape, z_hi):
@@ -437,7 +453,7 @@ def _stream_scratch(n_in, n_out, p, y, z, dtype=jnp.float32, slots=2):
 
 def _stream_tiles2d(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
                     n_full, tx, halo, ny, ty, hy, compute,
-                    pipeline=True):
+                    pipeline=True, n_bufs=None):
     """(x, packed-y)-tiled variant of _stream_tiles over
     ``grid=(ntx, nty)``: windows carry a halo in BOTH the x (plane) and
     packed-y (sublane) axes, for kernels whose full-y window would
@@ -456,6 +472,9 @@ def _stream_tiles2d(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
     t = ti * nty + tj
     nt = ntx * nty
     n_in = len(in_hbm)
+    # extra slot buffers beyond the inputs serve as dedicated outputs
+    # (same contract as _stream_tiles)
+    n_bufs = n_in if n_bufs is None else n_bufs
     p = tx + 2 * halo
     py = ty + 2 * hy
 
@@ -471,11 +490,19 @@ def _stream_tiles2d(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
     def tile_wlo_y(tt):
         return jnp.clip(tile_lo_y(tt) - hy, 0, ny - py)
 
+    def _mult8(i):
+        # every y offset here is a multiple of 8 by construction
+        # (ty/hy/ny are multiples of 8), but Mosaic cannot prove it
+        # through the min/clip arithmetic and rejects the sublane-dim
+        # memref slice ("failed to prove a tile index ... divisible by
+        # the tiling (8)") — annotate.
+        return pl.multiple_of(i, 8)
+
     def in_copies(tt, slot):
         w = tile_wlo(tt)
         wy = tile_wlo_y(tt)
         return [pltpu.make_async_copy(
-                    src.at[pl.ds(w, p), pl.ds(wy, py)],
+                    src.at[pl.ds(w, p), pl.ds(_mult8(wy), py)],
                     vbuf.at[slot, i], in_sems.at[slot, i])
                 for i, src in enumerate(in_hbm)]
 
@@ -484,8 +511,8 @@ def _stream_tiles2d(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
         lo_y, wy = tile_lo_y(tt), tile_wlo_y(tt)
         return [pltpu.make_async_copy(
                     vbuf.at[slot, i, pl.ds(lo - w, tx),
-                            pl.ds(lo_y - wy, ty)],
-                    dst.at[pl.ds(lo, tx), pl.ds(lo_y, ty)],
+                            pl.ds(_mult8(lo_y - wy), ty)],
+                    dst.at[pl.ds(lo, tx), pl.ds(_mult8(lo_y), ty)],
                     out_sems.at[slot, j])
                 for j, (i, dst) in enumerate(out_pairs)]
 
@@ -494,7 +521,7 @@ def _stream_tiles2d(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
             cp.start()
         for cp in in_copies(t, 0):
             cp.wait()
-        compute([vbuf.at[0, i] for i in range(n_in)], tile_wlo(t),
+        compute([vbuf.at[0, i] for i in range(n_bufs)], tile_wlo(t),
                 tile_wlo_y(t))
         for cp in out_copies(t, 0):
             cp.start()
@@ -522,7 +549,7 @@ def _stream_tiles2d(in_hbm, out_pairs, vbuf, in_sems, out_sems, *,
     for cp in in_copies(t, s):
         cp.wait()
 
-    compute([vbuf.at[s, i] for i in range(n_in)], tile_wlo(t),
+    compute([vbuf.at[s, i] for i in range(n_bufs)], tile_wlo(t),
             tile_wlo_y(t))
 
     for cp in out_copies(t, s):
@@ -553,6 +580,40 @@ def _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, *, slots=2,
     plane = yp * zp * dtype_size
     max_p = budget // (slots * n_bufs * plane)
     return max(1, min(tx_want, max_p - 2 * halo, n_full - 2 * halo))
+
+
+def _auto_ty(tx_want, n_bufs, halo, n_full, yp, zp, ny, y_true, *,
+             budget):
+    """Pick a y tile (or None for full-y windows) for the streaming
+    wrappers: when the full-y double-buffered window collapses the x
+    tile below 8 planes (large y*z planes — 512^3 fits only tx=2 for
+    forcing, a 3x read redundancy), switch to (x, y)-tiled windows.
+    ty=128 measured best at 512^3 (41.8 vs 49.3 ms full-y for forcing,
+    verify/bench_forcing512.py); the window must fit the rows and keep
+    the y_hi face's source row inside the last window."""
+    txf = _fit_tx(tx_want, n_bufs, halo, n_full, yp, zp, budget=budget)
+    if txf >= 8:
+        return None
+    if ny >= 144 and ny - 144 <= y_true - 2:
+        return 128
+    return None
+
+
+def _ty_window(ty, ny, y_true, kind):
+    """Validate a y tile and return the window rows py = ty + 2*hy
+    (hy=8: HBM sublane window slices must be 8-aligned in offset and
+    size — Mosaic rejects smaller halos with 'slice shape along
+    dimension 1 must be aligned to tiling (8)')."""
+    if ty % 8:
+        raise ValueError(f"ty={ty} must be a multiple of 8 (HBM "
+                         "sublane window slices must be 8-aligned)")
+    py = ty + 16
+    # the last window must keep the y_hi face's source row inside
+    if py > ny or ny - py > y_true - 2:
+        raise ValueError(
+            f"{kind} y tile window {py} incompatible with {ny} "
+            f"rows (y_hi {y_true - 1})")
+    return py
 
 
 def _fit_tx_or_serial(tx_want, n_bufs, halo, n_full, yp, zp, *, budget):
@@ -687,12 +748,14 @@ def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
     like their owner (deterministic replication) and zeroes the mag
     ghost exactly where the dense kernel does.
 
-    ``ty``: y-tile rows — windows tile the y axis too with a 2-row
-    halo (_stream_tiles2d), for plane sizes that collapse tx; the
-    interior mask and y-face rows then use window-global ``wylo``.
+    ``ty``: y-tile rows — windows tile the y axis too with an 8-row
+    halo (_stream_tiles2d; 2 rows suffice for the stencil but HBM
+    window slices along the sublane dim must be 8-aligned in offset
+    and size — Mosaic rejects hy=2 with "slice shape along dimension 1
+    must be aligned to tiling (8)"), for plane sizes that collapse tx;
+    the interior mask and y-face rows then use window-global ``wylo``.
     wylo == 0 on the full-y path, so the y-face gates fold to the
     static form there."""
-    py = None if ty is None else ty + 4
 
     def compute(refs, wlo, wylo):
         vu, vv, vw, vd, vt = refs
@@ -763,7 +826,7 @@ def _force_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, d_hbm, t_hbm, uo, vo, wo,
         _stream_tiles2d((u_hbm, v_hbm, w_hbm, d_hbm, t_hbm),
                         ((0, uo), (1, vo), (2, wo)), vbuf, in_sems,
                         out_sems, n_full=n_full, tx=tx, halo=2, ny=ny,
-                        ty=ty, hy=2, compute=compute,
+                        ty=ty, hy=8, compute=compute,
                         pipeline=pipeline)
 
 
@@ -788,13 +851,11 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
     gx0_arr = (jnp.zeros((1,), jnp.int32) if gx0 is None
                else jnp.asarray(gx0, jnp.int32).reshape(1))
     ny = ins[0].shape[1]
+    if ty is None:
+        ty = _auto_ty(tx, 5, 2, n_full, yp, zp, ny, y_true,
+                      budget=50 * 1024 * 1024)
     if ty is not None:
-        py = ty + 4
-        # the last window must keep the y_hi face's source row inside
-        if py > ny or ny - py > y_true - 2:
-            raise ValueError(
-                f"forcing y tile window {py} incompatible with {ny} "
-                f"rows (y_hi {y_true - 1})")
+        py = _ty_window(ty, ny, y_true, "forcing")
         tx = max(1, min(tx, _fit_tx(tx, 5, 2, n_full, py, zp,
                                     budget=50 * 1024 * 1024)))
         pipeline = True
@@ -840,7 +901,7 @@ def forcing3d_pallas(u, v, w, dens, temp, dt: float, h: float, eps: float,
 
 
 def _div_stage(vu, vv, vw, out_ref, interior, zedges, *, h, p, y_hi,
-               is_first, is_last):
+               is_first, is_last, wylo=None):
     """Divergence compute body shared by the windowed _div_kernel and
     the fused _project_whole_kernel — keep ONE copy so the documented
     bit-compatibility cannot drift between the two dispatch paths.
@@ -852,11 +913,11 @@ def _div_stage(vu, vv, vw, out_ref, interior, zedges, *, h, p, y_hi,
          - _zshift_g(w, -1, -1.0, *zedges))
     out_ref[...] = jnp.where(interior, jnp.float32(-0.5 * h) * s, 0.0)
     _face_fix_ref(out_ref, is_first, is_last, p=p, sx=1.0, sy=1.0,
-                  y_hi=y_hi)
+                  y_hi=y_hi, wylo=wylo)
 
 
 def _gradsub_stage(pr, refs_bs, interior, zedges, *, h, p, y_hi,
-                   is_first, is_last):
+                   is_first, is_last, wylo=None):
     """Pressure-gradient subtraction body shared by the windowed
     _gradsub_kernel and the fused _project_whole_kernel.  Same op
     order as the dense path (bit-compatible): -0.5*(p[i+1]-p[i-1])/h;
@@ -871,56 +932,83 @@ def _gradsub_stage(pr, refs_bs, interior, zedges, *, h, p, y_hi,
         ref[...] = jnp.where(interior, ref[...] + g_, ref[...])
         sx, sy, _ = _bnd_scales(b)
         _face_fix_ref(ref, is_first, is_last, p=p, sx=sx, sy=sy,
-                      y_hi=y_hi)
+                      y_hi=y_hi, wylo=wylo)
 
 
 def _div_kernel(u_hbm, v_hbm, w_hbm, out_hbm, vbuf, in_sems, out_sems, *,
-                n_full, y_hi, z_hi, tx, h, pipeline=True):
+                n_full, y_hi, z_hi, tx, h, pipeline=True, ty=None,
+                ny=None):
     p = tx + 2
 
-    def compute(refs, wlo):
+    def compute(refs, wlo, wylo):
         vu, vv, vw = refs
         shape = vu.shape
         gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
-        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + wylo
         kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
                     & (jj <= y_hi - 1) & (kk <= z_hi))
         zedges = _lane_edges(shape, z_hi)
         _div_stage(vu, vv, vw, vu, interior, zedges, h=h, p=p,
                    y_hi=y_hi, is_first=wlo == 0,
-                   is_last=wlo == n_full - p)
+                   is_last=wlo == n_full - p,
+                   wylo=None if ty is None else wylo)
 
-    _stream_tiles((u_hbm, v_hbm, w_hbm), ((0, out_hbm),), vbuf,
-                  in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
-                  compute=compute, pipeline=pipeline)
+    if ty is None:
+        _stream_tiles((u_hbm, v_hbm, w_hbm), ((0, out_hbm),), vbuf,
+                      in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
+                      compute=lambda refs, wlo: compute(refs, wlo, 0),
+                      pipeline=pipeline)
+    else:
+        _stream_tiles2d((u_hbm, v_hbm, w_hbm), ((0, out_hbm),), vbuf,
+                        in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
+                        ny=ny, ty=ty, hy=8, compute=compute,
+                        pipeline=pipeline)
 
 
-@functools.partial(jax.jit, static_argnames=("tx", "true_extents", "h"))
-def div3d_pallas(u, v, w, tx: int = 32, true_extents=None, h=None):
+@functools.partial(jax.jit, static_argnames=("tx", "true_extents", "h",
+                                              "ty"))
+def div3d_pallas(u, v, w, tx: int = 32, true_extents=None, h=None,
+                 ty=None):
     """Fused ``set_bnd3d(0, zeros.at[1:-1,...].set(divergence3d(u,v,w)))``
     — one HBM pass instead of ~6 full-array copies.
 
     ``h``: grid spacing override — the sharded path passes 1/n_global
     because its arrays are x-slabs whose extent is not the global n
-    (tpufluids.shard.grid_sharded)."""
+    (tpufluids.shard.grid_sharded).  ``ty``: y-tile rows for plane
+    sizes that collapse tx (auto-picked at 512^3+); None keeps full-y
+    windows."""
     ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (u, v, w), true_extents)
     if h is None:
         h = 1.0 / (n_full - 2)
-    tx, pipeline = _fit_tx_or_serial(tx, 3, 1, n_full, yp, zp,
-                                     budget=70 * 1024 * 1024)
+    ny = ins[0].shape[1]
+    if ty is None:
+        ty = _auto_ty(tx, 3, 1, n_full, yp, zp, ny, y_true,
+                      budget=70 * 1024 * 1024)
+    if ty is not None:
+        py = _ty_window(ty, ny, y_true, "divergence")
+        tx = max(1, min(tx, _fit_tx(tx, 3, 1, n_full, py, zp,
+                                    budget=70 * 1024 * 1024)))
+        pipeline = True
+        grid = (pl.cdiv(n_full, tx), pl.cdiv(ny, ty))
+        ywin = py
+    else:
+        tx, pipeline = _fit_tx_or_serial(tx, 3, 1, n_full, yp, zp,
+                                         budget=70 * 1024 * 1024)
+        grid = (pl.cdiv(n_full, tx),)
+        ywin = ny
     p = tx + 2
     kern = functools.partial(_div_kernel, n_full=n_full, y_hi=y_true - 1,
                              z_hi=z_true - 3, tx=tx, h=h,
-                             pipeline=pipeline)
+                             pipeline=pipeline, ty=ty, ny=ny)
     out = pl.pallas_call(
         kern,
-        grid=(pl.cdiv(n_full, tx),),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(ins[0].shape, jnp.float32),
-        scratch_shapes=_stream_scratch(3, 1, p, ins[0].shape[1],
+        scratch_shapes=_stream_scratch(3, 1, p, ywin,
                                        ins[0].shape[2],
                                        slots=2 if pipeline else 1),
         compiler_params=pltpu.CompilerParams(
@@ -933,52 +1021,77 @@ def div3d_pallas(u, v, w, tx: int = 32, true_extents=None, h=None):
 
 def _gradsub_kernel(p_hbm, u_hbm, v_hbm, w_hbm, uo, vo, wo,
                     vbuf, in_sems, out_sems, *, n_full, y_hi, z_hi, tx, h,
-                    pipeline=True):
+                    pipeline=True, ty=None, ny=None):
     p = tx + 2
 
-    def compute(refs, wlo):
+    def compute(refs, wlo, wylo):
         vp, vu, vv, vw = refs
         shape = vp.shape
         gi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + wlo
-        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + wylo
         kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         interior = ((gi >= 1) & (gi <= n_full - 2) & (jj >= 1)
                     & (jj <= y_hi - 1) & (kk <= z_hi))
         zedges = _lane_edges(shape, z_hi)
         _gradsub_stage(vp[...], ((0, vu, 1), (1, vv, 2), (2, vw, 3)),
                        interior, zedges, h=h, p=p, y_hi=y_hi,
-                       is_first=wlo == 0, is_last=wlo == n_full - p)
+                       is_first=wlo == 0, is_last=wlo == n_full - p,
+                       wylo=None if ty is None else wylo)
 
-    _stream_tiles((p_hbm, u_hbm, v_hbm, w_hbm),
-                  ((1, uo), (2, vo), (3, wo)), vbuf, in_sems, out_sems,
-                  n_full=n_full, tx=tx, halo=1, compute=compute,
-                  pipeline=pipeline)
+    if ty is None:
+        _stream_tiles((p_hbm, u_hbm, v_hbm, w_hbm),
+                      ((1, uo), (2, vo), (3, wo)), vbuf, in_sems,
+                      out_sems, n_full=n_full, tx=tx, halo=1,
+                      compute=lambda refs, wlo: compute(refs, wlo, 0),
+                      pipeline=pipeline)
+    else:
+        _stream_tiles2d((p_hbm, u_hbm, v_hbm, w_hbm),
+                        ((1, uo), (2, vo), (3, wo)), vbuf, in_sems,
+                        out_sems, n_full=n_full, tx=tx, halo=1, ny=ny,
+                        ty=ty, hy=8, compute=compute,
+                        pipeline=pipeline)
 
 
-@functools.partial(jax.jit, static_argnames=("tx", "true_extents", "h"))
+@functools.partial(jax.jit, static_argnames=("tx", "true_extents", "h",
+                                              "ty"))
 def gradsub3d_pallas(p_arr, u, v, w, tx: int = 24, true_extents=None,
-                     h=None):
+                     h=None, ty=None):
     """Fused pressure-gradient subtraction + per-component set_bnd
     (the tail of stam.project3d), one HBM pass.  ``h``: grid-spacing
-    override for x-slab arrays (see div3d_pallas)."""
+    override for x-slab arrays (see div3d_pallas).  ``ty``: y-tile
+    rows for plane sizes that collapse tx (auto-picked at 512^3+)."""
     ins, n_full, y_true, z_true, yp, zp, standalone = _pad_setup(
         (p_arr, u, v, w), true_extents)
     if h is None:
         h = 1.0 / (n_full - 2)
-    tx, pipeline = _fit_tx_or_serial(tx, 4, 1, n_full, yp, zp,
-                                     budget=60 * 1024 * 1024)
+    ny = ins[0].shape[1]
+    if ty is None:
+        ty = _auto_ty(tx, 4, 1, n_full, yp, zp, ny, y_true,
+                      budget=60 * 1024 * 1024)
+    if ty is not None:
+        py = _ty_window(ty, ny, y_true, "gradsub")
+        tx = max(1, min(tx, _fit_tx(tx, 4, 1, n_full, py, zp,
+                                    budget=60 * 1024 * 1024)))
+        pipeline = True
+        grid = (pl.cdiv(n_full, tx), pl.cdiv(ny, ty))
+        ywin = py
+    else:
+        tx, pipeline = _fit_tx_or_serial(tx, 4, 1, n_full, yp, zp,
+                                         budget=60 * 1024 * 1024)
+        grid = (pl.cdiv(n_full, tx),)
+        ywin = ny
     pw = tx + 2
     kern = functools.partial(_gradsub_kernel, n_full=n_full,
                              y_hi=y_true - 1, z_hi=z_true - 3, tx=tx, h=h,
-                             pipeline=pipeline)
+                             pipeline=pipeline, ty=ty, ny=ny)
     outs = pl.pallas_call(
         kern,
-        grid=(pl.cdiv(n_full, tx),),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
         out_shape=tuple(jax.ShapeDtypeStruct(ins[0].shape, jnp.float32)
                         for _ in range(3)),
-        scratch_shapes=_stream_scratch(4, 3, pw, ins[0].shape[1],
+        scratch_shapes=_stream_scratch(4, 3, pw, ywin,
                                        ins[0].shape[2],
                                        slots=2 if pipeline else 1),
         compiler_params=pltpu.CompilerParams(
@@ -1242,7 +1355,8 @@ def step3d_whole_pallas(u, v, w, dens, temp, *, iters, red_black, dt,
 
 
 def _advect_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, *rest, n_full, gn,
-                   y_hi, z_hi, tx, dt0, bnds, pipeline, self_advect):
+                   y_hi, z_hi, tx, dt0, bnds, pipeline, self_advect,
+                   ty=None, ny=None):
     """rest = (field_hbm..., out_hbm..., vbuf, in_sems, out_sems).
     Advect k fields by (u,v,w) with one shared set of backtrace weights
     (the XLA path recomputes them per field).
@@ -1271,30 +1385,43 @@ def _advect_kernel(gx0_ref, u_hbm, v_hbm, w_hbm, *rest, n_full, gn,
     p = tx + 2
     n_in = 3 + nf
 
-    def compute(refs, wlo):
+    def compute(refs, wlo, wylo):
         vu, vv, vw = refs[:3]
         vf = refs[:3] if self_advect else refs[3:3 + k]
         vo = refs[n_in:n_in + k]
         _advect_stage(vu, vv, vw, vf, vo, wlo, gx0_ref[0], p=p,
                       n_full=n_full, gn=gn, y_hi=y_hi, z_hi=z_hi,
-                      dt0=dt0, bnds=bnds)
+                      dt0=dt0, bnds=bnds,
+                      wylo=None if ty is None else wylo)
 
-    _stream_tiles((u_hbm, v_hbm, w_hbm) + tuple(f_hbm),
-                  tuple((n_in + q, o_hbm[q]) for q in range(k)),
-                  vbuf, in_sems, out_sems, n_full=n_full, tx=tx, halo=1,
-                  compute=compute, pipeline=pipeline, n_bufs=n_in + k)
+    if ty is None:
+        _stream_tiles((u_hbm, v_hbm, w_hbm) + tuple(f_hbm),
+                      tuple((n_in + q, o_hbm[q]) for q in range(k)),
+                      vbuf, in_sems, out_sems, n_full=n_full, tx=tx,
+                      halo=1,
+                      compute=lambda refs, wlo: compute(refs, wlo, 0),
+                      pipeline=pipeline, n_bufs=n_in + k)
+    else:
+        _stream_tiles2d((u_hbm, v_hbm, w_hbm) + tuple(f_hbm),
+                        tuple((n_in + q, o_hbm[q]) for q in range(k)),
+                        vbuf, in_sems, out_sems, n_full=n_full, tx=tx,
+                        halo=1, ny=ny, ty=ty, hy=8, compute=compute,
+                        pipeline=pipeline, n_bufs=n_in + k)
 
 
 def _advect_stage(vu, vv, vw, vf, vo, wlo, gx0, *, p, n_full, gn, y_hi,
-                  z_hi, dt0, bnds):
+                  z_hi, dt0, bnds, wylo=None):
     """27-tap stencil-advection compute body shared by the windowed
     _advect_kernel and the fused whole-step kernel (one copy keeps the
     bit-compatibility from drifting).  ``vf``/``vo``: source / output
     window refs per field; ``gx0`` the global dense row of array row
-    0."""
+    0; ``wylo`` the window-global y of window row 0 for y-tiled
+    windows (None = full-y)."""
     k = len(bnds)
+    dyn_y = wylo is not None
+    wy0 = wylo if dyn_y else 0
     pshape = (1,) + vu.shape[1:]
-    jj = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, pshape, 1) + wy0
     kk = jax.lax.broadcasted_iota(jnp.int32, pshape, 2)
     jjf = jj.astype(jnp.float32)
     kkf = kk.astype(jnp.float32) + 1.0   # lane k holds true z = k+1
@@ -1376,16 +1503,16 @@ def _advect_stage(vu, vv, vw, vf, vo, wlo, gx0, *, p, n_full, gn, y_hi,
         vo[q][pl.ds(p - 1, 1)] = plane(vf[q], p - 1)
         sx, sy, _ = _bnd_scales(bnds[q])
         _face_fix_ref(vo[q], is_first, is_last, p=p, sx=sx, sy=sy,
-                      y_hi=y_hi)
+                      y_hi=y_hi, wylo=wylo if dyn_y else None)
 
 
 @functools.partial(jax.jit, static_argnames=("bnds", "dt0", "tx",
                                              "self_advect", "pipeline",
-                                             "true_extents", "gn"))
+                                             "true_extents", "gn", "ty"))
 def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
                           tx: int = 8, self_advect: bool = False,
                           pipeline: bool = None, true_extents=None,
-                          gx0=None, gn=None):
+                          gx0=None, gn=None, ty=None):
     """Fused 27-tap stencil advection of ``fields`` (tuple) by (u,v,w).
 
     Equivalent to calling stam.advect3d_stencil per field, but the
@@ -1420,32 +1547,49 @@ def advect3d_multi_pallas(fields, bnds, u, v, w, dt0: float,
     # the per-plane compute body keeps ~46 plane-sized temporaries
     # live (measured at 512^3: 58M of spills+temps beside the 80M
     # window scratch); budget only what they leave of the VMEM limit
+    ny = yp
     plane = yp * zp * 4
     budget = max(16 * 1024 * 1024,
                  112 * 1024 * 1024 - 46 * plane)
-    want = tx
-    tx = _fit_tx(tx, n_bufs, 1, n_full, yp, zp, budget=budget)
-    auto = pipeline is None
-    if auto:
-        pipeline = tx >= 4
-    if not pipeline:
-        # auto fallback: unpipelined frees a slot, retry a wide tile;
-        # explicit pipeline=False keeps the caller's tile request
-        tx = _fit_tx(8 if auto else want, n_bufs, 1, n_full, yp, zp,
-                     slots=1, budget=budget)
-    p = tx + 2
-    grid = (pl.cdiv(n_full, tx),)
+    if ty is None:
+        ty = _auto_ty(tx, n_bufs, 1, n_full, yp, zp, ny, y_true,
+                      budget=budget)
+    if ty is not None:
+        py = _ty_window(ty, ny, y_true, "advect")
+        # per-plane temporaries shrink to the window rows
+        budget = max(16 * 1024 * 1024,
+                     112 * 1024 * 1024 - 46 * py * zp * 4)
+        tx = max(1, min(tx, _fit_tx(tx, n_bufs, 1, n_full, py, zp,
+                                    budget=budget)))
+        pipeline = True
+        p = tx + 2
+        grid = (pl.cdiv(n_full, tx), pl.cdiv(ny, ty))
+        ywin = py
+    else:
+        want = tx
+        tx = _fit_tx(tx, n_bufs, 1, n_full, yp, zp, budget=budget)
+        auto = pipeline is None
+        if auto:
+            pipeline = tx >= 4
+        if not pipeline:
+            # auto fallback: unpipelined frees a slot, retry a wide
+            # tile; explicit pipeline=False keeps the caller's request
+            tx = _fit_tx(8 if auto else want, n_bufs, 1, n_full, yp, zp,
+                         slots=1, budget=budget)
+        p = tx + 2
+        grid = (pl.cdiv(n_full, tx),)
+        ywin = yp
 
     kern = functools.partial(
         _advect_kernel, n_full=n_full, gn=gn, y_hi=y_true - 1,
         z_hi=z_true - 3, tx=tx, dt0=dt0, bnds=bnds, pipeline=pipeline,
-        self_advect=self_advect)
+        self_advect=self_advect, ty=ty, ny=ny)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * k),
-        scratch_shapes=_stream_scratch(n_bufs, k, p, yp, zp,
+        scratch_shapes=_stream_scratch(n_bufs, k, p, ywin, zp,
                                        slots=2 if pipeline else 1),
     )
     outs = pl.pallas_call(
@@ -2027,7 +2171,13 @@ def lin_solve3d_rb_packed(b: int, x, x0, a: float, c: float, iters: int,
         raise ValueError(f"window {p} exceeds array extent {n_full}")
     if ty is not None:
         ny = A.shape[1]
-        hy = n_sweeps
+        if ty % 8:
+            raise ValueError(f"ty={ty} must be a multiple of 8 (HBM "
+                             "sublane window slices must be 8-aligned)")
+        # the sweeps need n_sweeps halo rows; round up to the sublane
+        # tiling so every window offset stays 8-aligned (Mosaic
+        # requirement, see _stream_tiles2d._mult8)
+        hy = -(-n_sweeps // 8) * 8
         py = ty + 2 * hy
         # the LAST window starts at ny - py; the hi-face fix needs the
         # face row h reachable there (even parity also needs its source
