@@ -2010,9 +2010,12 @@ def rb_packed_plan(shape, iters):
             # ~2x the planes, so the deep fuse survives without the
             # double buffer — measured 83.2 ms vs 99.2 for the thin
             # pipelined fuse=2 window and 104.8 for serial fuse=2
-            # (verify/bench_rb512_plans.py, 20-iter solve at 512^3)
-            txs = _fit_tx(24, 4, halo, n_full, yhp, zp, slots=1,
-                          budget=88 * 1024 * 1024)
+            # (verify/bench_rb512_plans.py, 20-iter solve at 512^3).
+            # tx capped at 16: the sweep body's scoped temporaries add
+            # ~1/3 of a window on top, and tx=24 (p=40 planes) blew
+            # the 100M hard vmem limit by 15M at 512^3
+            txs = _fit_tx(16, 4, halo, n_full, yhp, zp, slots=1,
+                          budget=70 * 1024 * 1024)
             if txs >= 12:
                 return txs, 4, False
     for fuse in (2, 1):
