@@ -64,7 +64,12 @@ for n in sizes:
     cfg_col = BASE_CONFIG.replace(pallas_kernel="column",
                                   pallas_col_cap=cap)
     sc, btc = jax.jit(lambda s: binning.sort_by_cell(s, cfg_col))(s0)
-    col_j = jax.jit(lambda s, b: base_forces_pallas(s, b, cfg_col))
+    # b/w_cap must carry the derived cap — the dispatch path passes
+    # cfg.pallas_col_cap; the parameter default (128) silently
+    # overflows at these densities and undertimes the kernel
+    col_j = jax.jit(lambda s, t: base_forces_pallas(
+        s, t, cfg_col, b=cap, w_cap=cap,
+        w_chunk=cfg_col.pallas_w_chunk))
     timeit(f"n={n} column forces (on sorted state)",
            lambda: col_j(sc, btc))
 
