@@ -550,6 +550,33 @@ def test_sph_force_kernel_matches_xla_interpret():
                                rtol=1e-4, atol=1e-5 * scale)
 
 
+def test_sph_force_kernel_home_chunk_bitcompat_interpret():
+    """h_chunk mode (static home-lane chunks + cond skip) is bitwise
+    identical to the whole-cap tiles: same per-lane op order, chunks
+    only re-slice the lanes."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import BASE_CONFIG
+    from tpufluids.scenes import random_blob
+    from tpufluids.sph_pallas import base_forces_pallas
+    cfg = BASE_CONFIG.replace(max_per_cell=32, grid_size=8, cell_size=0.25)
+    state = random_blob(150, seed=9, cfg=cfg, span=0.6, boundary_frac=0.2)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        sw0, dp0, ovf0 = base_forces_pallas(ss, bt, cfg, b=192, w_cap=192,
+                                            w_chunk=64)
+        sw1, dp1, ovf1 = base_forces_pallas(ss, bt, cfg, b=192, w_cap=192,
+                                            w_chunk=64, h_chunk=64)
+        # h_chunk that does not divide b: b is rounded up (192 -> 256)
+        sw2, dp2, ovf2 = base_forces_pallas(ss, bt, cfg, b=192, w_cap=192,
+                                            w_chunk=64, h_chunk=128)
+    assert int(ovf0) == int(ovf1) == 0
+    np.testing.assert_array_equal(np.asarray(sw1), np.asarray(sw0))
+    np.testing.assert_array_equal(np.asarray(dp1), np.asarray(dp0))
+    np.testing.assert_array_equal(np.asarray(sw2), np.asarray(sw0))
+    np.testing.assert_array_equal(np.asarray(dp2), np.asarray(dp0))
+
+
 def test_sph_step_with_pallas_backend_interpret():
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.config import BASE_CONFIG

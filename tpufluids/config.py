@@ -163,6 +163,13 @@ class SPHConfig:
     # worst-case cap (sph_pallas._window_loop). 0 = whole-cap tiles.
     # 64 measured best on v5e for both scenes (verify/bench_sph_rb_sweep).
     pallas_w_chunk: int = 64
+    # home-LANE chunk for the column family: >0 computes pair tiles in
+    # static lane chunks of this size and skips chunks past the
+    # column's population (sph_pallas._make_base_body_hc), so home-side
+    # VPU work scales with occupancy instead of the cap (~56% at the
+    # 524k uniform fill's suggested cap).  0 = whole-cap tiles.
+    # Base variant only; experimental until TPU-measured.
+    pallas_h_chunk: int = 0
     # Pallas force-kernel family: "rowblock" (home block = 128
     # consecutive sorted rows — full lane utilization, NO capacity cap,
     # overflow impossible), "column" (one (x,y) grid column per

@@ -114,7 +114,7 @@ def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, gx, gy,
 
 
 def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
-                gx, gy, b, w_cap, cfg: SPHConfig, w_chunk=0):
+                gx, gy, b, w_cap, cfg: SPHConfig, w_chunk=0, h_chunk=0):
     t = pl.program_id(0)
     cx = t // gy
     cy = t % gy
@@ -127,7 +127,7 @@ def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
         _column_body(col_start, packed_hbm, out_ref, home, win2, sems,
                      t=t, cx=cx, cy=cy, h_start=h_start, h_count=h_count,
                      gx=gx, gy=gy, b=b, w_cap=w_cap, cfg=cfg,
-                     w_chunk=w_chunk)
+                     w_chunk=w_chunk, h_chunk=h_chunk)
 
 
 def _make_base_body(hmT, i_valid, cfg, *, xy_cells=False):
@@ -207,9 +207,40 @@ def _make_base_body(hmT, i_valid, cfg, *, xy_cells=False):
     return window_body
 
 
+def _make_base_body_hc(hmT, h_count, b, cfg, hc):
+    """Home-lane-chunked twin of _make_base_body: the pair tile is
+    (W, hc) instead of (W, B) and chunks past the column's actual
+    population are skipped with lax.cond, so home-side VPU work scales
+    with ``h_count`` rounded up to ``hc`` instead of the static cap
+    ``b`` (which must cover the worst column — the 524k uniform fill
+    averages ~56% home occupancy at the suggested cap).  All slices
+    are static (b % hc == 0 lane chunks); per-lane op order matches
+    _make_base_body exactly, so results are bitwise identical."""
+    assert b % hc == 0
+
+    def window_body(acc, wj, w_count, r):
+        tiles = []
+        for k in range(b // hc):
+            def compute(k=k):
+                hT = hmT[:, k * hc:(k + 1) * hc]
+                i_valid = ((jax.lax.broadcasted_iota(
+                    jnp.int32, (1, hc), 1) + k * hc < h_count)
+                    & (hT[_ALIVE, :][None, :] > 0.5))
+                body = _make_base_body(hT, i_valid, cfg)
+                return body(jnp.zeros((4, hc), jnp.float32),
+                            wj, w_count, r)
+
+            tiles.append(jax.lax.cond(
+                k * hc < h_count, compute,
+                lambda: jnp.zeros((4, hc), jnp.float32)))
+        return acc + jnp.concatenate(tiles, axis=1)
+
+    return window_body
+
+
 def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
                  t, cx, cy, h_start, h_count, gx, gy, b, w_cap, cfg,
-                 w_chunk=0):
+                 w_chunk=0, h_chunk=0):
     cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
                                sems.at[2])
     cp.start()
@@ -218,9 +249,13 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
     # one transpose per program: i-fields become rows -> (1, B) lane
     # vectors that broadcast over the j sublanes for free
     hmT = home[...].T                                     # (F, B)
-    i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) < h_count)
-               & (hmT[_ALIVE, :][None, :] > 0.5))
-    window_body = _make_base_body(hmT, i_valid, cfg)
+    if h_chunk:
+        window_body = _make_base_body_hc(hmT, h_count, b, cfg, h_chunk)
+    else:
+        i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+                    < h_count)
+                   & (hmT[_ALIVE, :][None, :] > 0.5))
+        window_body = _make_base_body(hmT, i_valid, cfg)
 
     acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
                        gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
@@ -282,7 +317,8 @@ def _pack_unidyn_by_order(state: ParticleState, order, bt, pad: int):
 
 def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
                        cfg: SPHConfig, b: int = 128, w_cap: int = 128,
-                       grid=None, order=None, w_chunk: int = 0):
+                       grid=None, order=None, w_chunk: int = 0,
+                       h_chunk: int = 0):
     """Compute (sum_w, dpress, overflow) for the base variant with the
     column-window Pallas kernel.  ``sorted_state`` must be cell-sorted
     with the same ``grid`` (binning.GridSpec; None = full cube — a
@@ -291,11 +327,16 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     With ``order`` given (binning.sort_tables mode), the state is the
     UNSORTED pool: the packed input is gathered by ``order`` and the
     results come back in pool order.  ``w_chunk`` > 0 processes window
-    sublanes in population-proportional chunks (see _window_loop)."""
+    sublanes in population-proportional chunks (see _window_loop);
+    ``h_chunk`` > 0 does the same for home LANES in static chunks of
+    that size (see _make_base_body_hc; must divide 128 into b — b is
+    rounded up)."""
     gx, gy = _grid_extents(cfg, grid)
     n = sorted_state.capacity
     if w_chunk:
         w_cap = -(-w_cap // w_chunk) * w_chunk
+    if h_chunk:
+        b = -(-b // h_chunk) * h_chunk
     pad = max(b, w_cap)
 
     if order is not None:
@@ -317,7 +358,7 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     overflow = jnp.sum(jnp.maximum(col_count - b, 0))
 
     kern = functools.partial(_sph_kernel, gx=gx, gy=gy, b=b, w_cap=w_cap,
-                             cfg=cfg, w_chunk=w_chunk)
+                             cfg=cfg, w_chunk=w_chunk, h_chunk=h_chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gx * gy,),

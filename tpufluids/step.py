@@ -103,7 +103,8 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
             sw, dp, kovf = base_forces_pallas(
                 state, bt, cfg, b=cfg.pallas_col_cap,
                 w_cap=cfg.pallas_col_cap, grid=grid, order=order,
-                w_chunk=cfg.pallas_w_chunk)
+                w_chunk=cfg.pallas_w_chunk,
+                h_chunk=cfg.pallas_h_chunk)
         z3 = jnp.zeros((n, 3), jnp.float32)
         z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
