@@ -142,7 +142,9 @@ def main():
     except Exception as e:  # never fail the headline metric
         log(f"DCT secondary bench skipped: {e}")
 
-    # secondary: the reference's own two scenes (SPH), Pallas backend
+    # secondary: the reference's own two scenes (SPH), Pallas backend —
+    # plus the merge-enabled tank (in-kernel partner search,
+    # FluidGPU-unidyn.cu:261-275) and the sharded SPH step on one chip
     sph = {}
     try:
         from tpufluids.config import BASE_CONFIG, UNIDYN_CONFIG
@@ -151,6 +153,9 @@ def main():
         for sname, scfg, scene in (("base_dam_8000p", BASE_CONFIG,
                                     base_dam),
                                    ("unidyn_tank_14040p", UNIDYN_CONFIG,
+                                    unidyn_tank),
+                                   ("unidyn_tank_merge_on",
+                                    UNIDYN_CONFIG.replace(merge_dist=0.06),
                                     unidyn_tank)):
             s = scene(scfg)
             s, m = run_python(s, scfg, 2)
@@ -163,6 +168,28 @@ def main():
             log(f"SPH {sname}: {sph[sname + '_ms_per_step']} ms/step")
     except Exception as e:  # never fail the headline metric
         log(f"SPH secondary bench skipped: {e}")
+
+    try:
+        # sharded SPH on ONE chip (solver-unidyn.cu:396-470's
+        # decomposition): per-step overhead vs the unsharded dam above
+        from tpufluids.shard import make_mesh
+        from tpufluids.shard.particles import distribute, make_sharded_step
+        mesh1 = make_mesh(1)
+        scfg = BASE_CONFIG
+        s = base_dam(scfg)
+        sh = distribute(s, mesh1, scfg, s.capacity)
+        stepn = make_sharded_step(mesh1, scfg, n_steps=60)
+        sh, ms = stepn(sh)
+        float(ms.max_speed)
+        t0 = time.perf_counter()
+        sh, ms = stepn(sh)
+        float(ms.max_speed)
+        sph["sph_sharded_1chip_ms"] = round(
+            (time.perf_counter() - t0) / 60 * 1e3, 2)
+        log(f"SPH sharded(1 chip) base_dam: "
+            f"{sph['sph_sharded_1chip_ms']} ms/step")
+    except Exception as e:
+        log(f"sharded SPH secondary bench skipped: {e}")
 
     # secondary: the remaining BASELINE.json configs (1: 2D smoke box,
     # 2: 64^3 step, 4: buoyant plume, 5: sharded path on this one chip)
@@ -226,6 +253,35 @@ def main():
             f"residual {float(r5):.3e}")
     except Exception as e:
         log(f"sharded secondary bench skipped: {e}")
+
+    try:
+        # 512^3 segment (the scaling axis of BASELINE config 5): keep
+        # the per-cell rate at large grids driver-visible every run,
+        # not only under a manual --size=512
+        if n == 256:
+            c512 = cfg.replace(n=512, dt=0.5 / 512)
+            s512 = stam.make_grid3d(c512)
+            k5 = 512 // 8
+            s512 = s512.replace(
+                dens=s512.dens.at[3 * k5:5 * k5, 3 * k5:5 * k5,
+                                  1:k5].set(1.0),
+                temp=s512.temp.at[3 * k5:5 * k5, 3 * k5:5 * k5,
+                                  1:k5].set(3.0))
+            s512, _ = stam.run3d_python(s512, c512, 2)
+            float(jnp.sum(s512.u))
+            t0 = time.perf_counter()
+            s512, r512 = stam.run3d_python(s512, c512, 16)
+            float(jnp.sum(s512.u))
+            ms512 = (time.perf_counter() - t0) / 16 * 1e3
+            bl["grid512_ms_per_step"] = round(ms512, 1)
+            bl["grid512_cell_updates_per_sec"] = round(512 ** 3
+                                                       / ms512 * 1e3)
+            log(f"512^3: {ms512:.1f} ms/step = "
+                f"{bl['grid512_cell_updates_per_sec']:.3e} cell-updates/s, "
+                f"residual {float(r512[-1]):.3e}")
+            del s512
+    except Exception as e:
+        log(f"512^3 secondary bench skipped: {e}")
 
     print(json.dumps({
         "metric": "cell-updates/sec/chip @ 256^3 stable-fluids step "

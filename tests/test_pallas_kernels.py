@@ -570,7 +570,7 @@ def test_sph_force_kernel_home_chunk_bitcompat_interpret():
         # h_chunk that does not divide b: b is rounded up (192 -> 256)
         sw2, dp2, ovf2 = base_forces_pallas(ss, bt, cfg, b=192, w_cap=192,
                                             w_chunk=64, h_chunk=128)
-    assert int(ovf0) == int(ovf1) == 0
+    assert int(ovf0) == int(ovf1) == int(ovf2) == 0
     np.testing.assert_array_equal(np.asarray(sw1), np.asarray(sw0))
     np.testing.assert_array_equal(np.asarray(dp1), np.asarray(dp0))
     np.testing.assert_array_equal(np.asarray(sw2), np.asarray(sw0))
@@ -936,3 +936,64 @@ def test_kernel_family_auto_resolution():
         c = cfg.replace(pallas_kernel=name)
         assert resolve_kernel_family(c, 8000) == name
         assert resolve_kernel_family(c, 10_000_000) == name
+
+
+def test_unidyn_merge_partner_matches_xla_interpret():
+    """Merge-enabled pass A (FluidGPU-unidyn.cu:261-275): the in-kernel
+    nearest-eligible-partner search of BOTH Pallas families returns the
+    XLA path's partner rows exactly (sorted-state mode)."""
+    import sys
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import UNIDYN_CONFIG
+    from tpufluids.forces import compute_forces
+    from tpufluids.sph_pallas import (unidyn_forces_pallas,
+                                      unidyn_forces_rowblock)
+    sys.path.insert(0, "tests")
+    from test_forces_vs_oracle import mixed_blob
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=32, grid_size=8,
+                                cell_size=0.25, merge_dist=0.12)
+    state = mixed_blob(150, 7, cfg, span=0.5)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    ref = compute_forces(ss, bt, cfg)
+    assert int((np.asarray(ref.merge_partner) >= 0).sum()) > 10, \
+        "scene must exercise the partner search"
+    with pltpu.force_tpu_interpret_mode():
+        got_col = unidyn_forces_pallas(ss, bt, cfg)
+        got_rb = unidyn_forces_rowblock(ss, bt, cfg)
+    np.testing.assert_array_equal(np.asarray(got_col["merge_partner"]),
+                                  np.asarray(ref.merge_partner))
+    np.testing.assert_array_equal(np.asarray(got_rb["merge_partner"]),
+                                  np.asarray(ref.merge_partner))
+
+
+def test_unidyn_step_merge_pallas_backend_interpret():
+    """End-to-end merge on the Pallas backend (sort_tables pool-order
+    mode): mutual pairs merge identically to the XLA backend, including
+    alive count and absorber masses."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.config import UNIDYN_CONFIG
+    from tpufluids.oracle import state_to_dict
+    from tpufluids.state import make_state
+    from tpufluids.step import sph_step
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=32, grid_size=16,
+                                cell_size=0.125, merge_dist=0.05)
+    pts = [[-0.515, 0.3, 0.1], [-0.485, 0.3, 0.1],   # pair
+           [0.4, -0.3, 0.2], [0.43, -0.3, 0.2],      # pair
+           [-0.6, 0.1, -0.2], [0.7, 0.5, 0.5]]       # singles
+    state = make_state(np.array(pts, np.float32), cfg=cfg)
+    ref = state
+    for _ in range(2):
+        ref, rm = sph_step(ref, cfg)
+    got = state
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(2):
+            got, gm = sph_step(got, cfg.replace(force_backend="pallas"))
+    assert int(gm.n_alive) == int(rm.n_alive) == 4
+    rd, gd = state_to_dict(ref), state_to_dict(got)
+    ri, gi = np.argsort(rd["pid"]), np.argsort(gd["pid"])
+    for f in ("pos", "vel", "mass", "dens", "alive"):
+        scale = max(1.0, np.abs(rd[f][ri]).max())
+        np.testing.assert_allclose(gd[f][gi], rd[f][ri], rtol=1e-4,
+                                   atol=1e-5 * scale, err_msg=f)
+    assert (gd["mass"] == cfg.merge_mass_new).sum() == 2

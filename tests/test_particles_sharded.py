@@ -126,11 +126,13 @@ def test_receiver_slot_exhaustion_counted():
     assert int(metrics.n_alive) == 4
 
 
+@pytest.mark.parametrize("family", ["column", "rowblock"])
 @pytest.mark.parametrize("variant", ["base", "unidyn"])
-def test_sharded_pallas_backend_interpret(variant):
+def test_sharded_pallas_backend_interpret(variant, family):
     """The sharded step with the Pallas force backend (slab GridSpec,
-    gx != gy) matches the XLA sharded step — interpret mode on the CPU
-    mesh (real TPU validation: verify/check_pallas_vs_xla_tpu.py)."""
+    gx != gy, both kernel families) matches the XLA sharded step —
+    interpret mode on the CPU mesh (real TPU validation:
+    verify/check_pallas_vs_xla_tpu.py)."""
     from jax.experimental.pallas import tpu as pltpu
 
     if variant == "base":
@@ -152,7 +154,7 @@ def test_sharded_pallas_backend_interpret(variant):
     refd = by_pid(state_to_dict(collect(ref_out)))
 
     cfgp = cfg.replace(force_backend="pallas",
-                       pallas_col_cap=64)
+                       pallas_col_cap=64, pallas_kernel=family)
     sharded = distribute(state, mesh, cfgp, cap)
     step_p = make_sharded_step(mesh, cfgp, n_steps=2)
     with pltpu.force_tpu_interpret_mode():
@@ -188,3 +190,40 @@ def test_migration_happens():
     refd = by_pid(state_to_dict(ref))
     np.testing.assert_allclose(outd["pos"], refd["pos"], rtol=3e-4,
                                atol=1e-5)
+
+
+def test_sharded_merge_pallas_backend_interpret():
+    """Merge on the sharded Pallas backend: the in-kernel partner
+    search (sorted slab rows) + owner-authoritative pick exchange
+    resolves cut-straddling pairs identically to the XLA sharded step
+    and the single-device step."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids.state import make_state
+
+    cfg = UNIDYN_CONFIG.replace(max_per_cell=32, grid_size=16,
+                                cell_size=0.125, merge_dist=0.05)
+    pts = [[-0.015, 0.3, 0.1], [0.015, 0.3, 0.1],   # straddles the cut
+           [0.4, -0.3, 0.2], [0.43, -0.3, 0.2],     # same-device pair
+           [-0.6, 0.1, -0.2], [0.7, 0.5, 0.5]]      # singles
+    n = len(pts)
+    state = make_state(np.array(pts, np.float32), cfg=cfg)
+
+    mesh = make_mesh(2)
+    ref_step = make_sharded_step(mesh, cfg.replace(force_backend="xla"),
+                                 n_steps=2)
+    ref_out, rmet = ref_step(distribute(state, mesh, cfg, n))
+    refd = by_pid(state_to_dict(collect(ref_out)))
+
+    cfgp = cfg.replace(force_backend="pallas", pallas_col_cap=64)
+    step_p = make_sharded_step(mesh, cfgp, n_steps=2)
+    with pltpu.force_tpu_interpret_mode():
+        out, met = step_p(distribute(state, mesh, cfgp, n))
+    outd = by_pid(state_to_dict(collect(out)))
+
+    assert int(met.n_alive) == int(rmet.n_alive) == n - 2
+    np.testing.assert_array_equal(outd["pid"], refd["pid"])
+    for f in ("pos", "vel", "mass", "dens"):
+        scale = max(1.0, np.abs(refd[f]).max())
+        np.testing.assert_allclose(outd[f], refd[f], rtol=1e-3,
+                                   atol=1e-5 * scale, err_msg=f)
+    assert (outd["mass"] == cfg.merge_mass_new).sum() == 2

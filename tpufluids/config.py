@@ -146,10 +146,10 @@ class SPHConfig:
     # --- TPU-side numerics (no reference equivalent) -------------------------
     # SPH force-pass backend: "auto" (pallas on TPU, xla elsewhere),
     # "xla" (gather-based), or "pallas" (column-window kernels,
-    # tpufluids/sph_pallas.py, both variants; 4-5x on v5e at the
-    # reference scenes). Column population cap is 128 (counted
-    # overflow); pallas falls back to xla for subbin-parity mode and
-    # merge-enabled unidyn runs (see step.sph_step).
+    # tpufluids/sph_pallas.py, both variants incl. merge-enabled unidyn
+    # runs; 4-5x on v5e at the reference scenes). Column population cap
+    # is 128 (counted overflow); pallas falls back to xla only for
+    # base-variant subbin mode (see step.use_pallas_forces).
     force_backend: str = "auto"
     # pallas column-window capacity (home block rows / window rows).
     # Must cover the densest (x, y) column of the sorted pool (column
@@ -178,8 +178,8 @@ class SPHConfig:
     # crossover: rowblock wins 4.5/25.1 vs 7.6/28.2 ms/step at
     # 32k/131k uniform fill but loses 156 vs 132 at 524k, where the
     # rowblock windows span too many cells;
-    # verify/bench_sph_scaling_ab.py).  The sharded slab path always
-    # uses "column" (rowblock is full-cube only).
+    # verify/bench_sph_scaling_ab.py).  Both families serve the full
+    # cube AND sharded x-slabs (binning.GridSpec).
     pallas_kernel: str = "auto"
     # dense neighbor-run capacity: each of the 9 (dx,dy) stencil runs covers
     # the contiguous cells (z-1, z, z+1) and holds at most 3*max_per_cell

@@ -164,8 +164,9 @@ def accum_from_pallas(state: ParticleState, r: dict,
                       cfg: SPHConfig) -> ForceAccum:
     """Assemble a full ForceAccum from the Pallas pair-pass results
     (tpufluids.sph_pallas.unidyn_forces_pallas), running the shared
-    per-particle granular pass and split trigger.  Merge is disabled on
-    this path (step.sph_step falls back to XLA when merge_dist > 0)."""
+    per-particle granular pass and split trigger.  The merge partner
+    search runs inside the Pallas pass-A kernel when merge_dist > 0
+    (the in-kernel placement of FluidGPU-unidyn.cu:261-275)."""
     n = state.capacity
     sig, rate = granular_pass(state, r["vel_grad"], cfg)
     split = compute_split_trigger(state, r["diffusion"], r["has_pair"],
@@ -177,7 +178,8 @@ def accum_from_pallas(state: ParticleState, r: dict,
         mixture_accel=r["mixture_accel"], delsolid=r["delsolid"],
         delfluid=r["delfluid"], stress_scaled=sig, stress_rate=rate,
         split_trigger=split,
-        merge_partner=jnp.full(n, -1, jnp.int32))
+        merge_partner=r.get("merge_partner",
+                            jnp.full(n, -1, jnp.int32)))
 
 
 def compute_forces(state: ParticleState, bt: BinTable,

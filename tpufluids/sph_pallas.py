@@ -218,20 +218,26 @@ def _make_base_body_hc(hmT, h_count, b, cfg, hc):
     _make_base_body exactly, so results are bitwise identical."""
     assert b % hc == 0
 
+    # Hoist the per-home invariants (lane slice, i_valid, the
+    # _make_base_body closure with its cell-z precompute) out of
+    # window_body: they are identical for all 9 windows x w-chunks, so
+    # building them once per program instead of per (window x chunk)
+    # pair keeps the chunked path's overhead to the lax.cond dispatch.
+    bodies = []
+    for k in range(b // hc):
+        hT = hmT[:, k * hc:(k + 1) * hc]
+        i_valid = ((jax.lax.broadcasted_iota(
+            jnp.int32, (1, hc), 1) + k * hc < h_count)
+            & (hT[_ALIVE, :][None, :] > 0.5))
+        bodies.append(_make_base_body(hT, i_valid, cfg))
+
     def window_body(acc, wj, w_count, r):
         tiles = []
-        for k in range(b // hc):
-            def compute(k=k):
-                hT = hmT[:, k * hc:(k + 1) * hc]
-                i_valid = ((jax.lax.broadcasted_iota(
-                    jnp.int32, (1, hc), 1) + k * hc < h_count)
-                    & (hT[_ALIVE, :][None, :] > 0.5))
-                body = _make_base_body(hT, i_valid, cfg)
-                return body(jnp.zeros((4, hc), jnp.float32),
-                            wj, w_count, r)
-
+        for k, body in enumerate(bodies):
             tiles.append(jax.lax.cond(
-                k * hc < h_count, compute,
+                k * hc < h_count,
+                lambda body=body: body(jnp.zeros((4, hc), jnp.float32),
+                                       wj, w_count, r),
                 lambda: jnp.zeros((4, hc), jnp.float32)))
         return acc + jnp.concatenate(tiles, axis=1)
 
@@ -294,9 +300,21 @@ def _pack_base_by_order(state: ParticleState, order, bt, pad: int):
     return jnp.pad(rows, ((0, pad), (0, F - 10)))
 
 
-def _pack_unidyn_by_order(state: ParticleState, order, bt, pad: int):
+def _merge_elig(state: ParticleState, cfg: SPHConfig):
+    """Per-particle merge eligibility (forces.compute_forces semantics,
+    FluidGPU-unidyn.cu:261): light fluid particle with last step's
+    diffusion magnitude under the threshold."""
+    prev_diff2 = jnp.sum(state.diffusion ** 2, axis=-1)
+    return ((state.mass > 0) & (state.mass < 2) & (~state.boundary)
+            & (prev_diff2 < cfg.merge_diffusion_max)
+            & state.alive).astype(jnp.float32)
+
+
+def _pack_unidyn_by_order(state: ParticleState, order, bt, pad: int,
+                          cfg: SPHConfig):
     """Unidyn twin of _pack_base_by_order (layout of _pack_unidyn plus
-    the sorted-order home_count/octant columns)."""
+    the sorted-order home_count/octant columns and, for merge-enabled
+    configs, the eligibility/row-id columns)."""
     f32 = jnp.float32
     s = state
     n = s.capacity
@@ -307,12 +325,18 @@ def _pack_unidyn_by_order(state: ParticleState, order, bt, pad: int):
         s.delpress, s.stress.reshape(n, 9)], axis=1)        # (n, 25)
     rows = cols[order]
     alive = rows[:, 9:10] * bt.in_dom.astype(f32)[:, None]
+    if cfg.merge_dist > 0:
+        merge_cols = [_merge_elig(s, cfg)[order][:, None],
+                      order.astype(f32)[:, None]]
+    else:
+        merge_cols = [jnp.zeros((n, 2), f32)]
     rows = jnp.concatenate([
         rows[:, :9], alive, rows[:, 10:25],
         jnp.zeros((n, 6), f32),                 # _SDV/_FDV slots
         bt.home_count.astype(f32)[:, None],
-        bt.octant.astype(f32)[:, None]], axis=1)            # (n, 33)
-    return jnp.pad(rows, ((0, pad), (0, F - 33)))
+        bt.octant.astype(f32)[:, None],
+        *merge_cols], axis=1)                               # (n, 35)
+    return jnp.pad(rows, ((0, pad), (0, F - 35)))
 
 
 def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
@@ -329,13 +353,18 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     results come back in pool order.  ``w_chunk`` > 0 processes window
     sublanes in population-proportional chunks (see _window_loop);
     ``h_chunk`` > 0 does the same for home LANES in static chunks of
-    that size (see _make_base_body_hc; must divide 128 into b — b is
-    rounded up)."""
+    that size (``b`` is rounded up to a multiple of it; only the
+    lane-register-aligned values 64 and 128 are validated — Mosaic may
+    reject other lane-slice widths)."""
     gx, gy = _grid_extents(cfg, grid)
     n = sorted_state.capacity
     if w_chunk:
         w_cap = -(-w_cap // w_chunk) * w_chunk
     if h_chunk:
+        if h_chunk % 64:
+            raise ValueError(
+                f"h_chunk={h_chunk}: only multiples of 64 lanes are "
+                "supported (64/128 validated)")
         b = -(-b // h_chunk) * h_chunk
     pad = max(b, w_cap)
 
@@ -393,11 +422,21 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
 _MASS, _SOLID, _FLUID, _DP, _SIG, _SDV, _FDV = 10, 11, 12, 13, 16, 25, 28
 # sub-bin parity extras: home-cell population + octant id
 _HCNT, _OCT = 31, 32
+# merge extras: per-particle eligibility + the row id the partner must
+# be reported as (pool index in sort_tables mode, sorted rank otherwise
+# — whatever index space the caller's state lives in)
+_ELIG, _ROW = 33, 34
 
 # pass A output rows
 _A_SUMW, _A_DP, _A_DIFF, _A_VG, _A_SA, _A_SDV, _A_FDV, _A_CNT = \
     0, 1, 4, 7, 16, 19, 22, 25
 _A_ROWS = 26
+# merge-enabled extras: best eligible pair distance (min-combined) and
+# its partner row id (selected alongside) — the in-kernel twin of the
+# reference's in-force-kernel merge (FluidGPU-unidyn.cu:261-275)
+_A_BESTD, _A_BESTP = 26, 27
+_A_ROWS_MERGE = 28
+_MERGE_BIG = 3.0e38
 # pass B output rows
 _B_MA, _B_DSOL, _B_DFLU = 0, 3, 4
 _B_ROWS = 5
@@ -425,6 +464,15 @@ def _pack_unidyn(sorted_state: ParticleState, bt: BinTable, pad: int):
     packed = packed.at[:n, _HCNT].set(bt.home_count.astype(jnp.float32))
     packed = packed.at[:n, _OCT].set(bt.octant.astype(jnp.float32))
     return packed
+
+
+def _set_merge_cols(packed, state: ParticleState, bt, cfg: SPHConfig):
+    if cfg.merge_dist <= 0:
+        return packed
+    n = state.capacity
+    packed = packed.at[:n, _ELIG].set(_merge_elig(state, cfg))
+    return packed.at[:n, _ROW].set(
+        jnp.arange(n, dtype=jnp.float32))
 
 
 def _unidyn_prologue(col_start, packed_hbm, home, sems, t, b):
@@ -525,10 +573,21 @@ def _unidyn_kernel_a(col_start, packed_hbm, out_ref, home, win2, sems, *,
 
         acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
                            gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
-                           acc0=jnp.zeros((_A_ROWS, b), jnp.float32),
-                           w_chunk=w_chunk)
+                           acc0=_unidyn_a_acc0(b, cfg), w_chunk=w_chunk)
+        nr = acc.shape[0]
         out_ref[...] = jnp.concatenate(
-            [acc.T, jnp.zeros((b, F - _A_ROWS), jnp.float32)], axis=1)
+            [acc.T, jnp.zeros((b, F - nr), jnp.float32)], axis=1)
+
+
+def _unidyn_a_acc0(b, cfg: SPHConfig):
+    """Pass-A accumulator init: sum rows start at 0; merge-enabled
+    configs append (best_dist = BIG, best_partner = -1) rows."""
+    if cfg.merge_dist <= 0:
+        return jnp.zeros((_A_ROWS, b), jnp.float32)
+    return jnp.concatenate([
+        jnp.zeros((_A_ROWS, b), jnp.float32),
+        jnp.full((1, b), _MERGE_BIG, jnp.float32),
+        jnp.full((1, b), -1.0, jnp.float32)], axis=0)
 
 
 def _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
@@ -648,7 +707,29 @@ def _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
                 - cfg.mixbrownian * fbrown, 0.0), axis=0))
         rows += sdv_rows + fdv_rows
         rows.append(msum(jnp.ones_like(ds)))   # pair count
-        return acc + jnp.stack(rows, axis=0)
+        if cfg.merge_dist <= 0:
+            return acc + jnp.stack(rows, axis=0)
+
+        # in-kernel merge partner search (FluidGPU-unidyn.cu:261-275):
+        # nearest eligible neighbor within merge_dist, min-combined
+        # across windows/chunks with its row id selected alongside.
+        # Ties: equal distances keep the earlier window / lower row id
+        # (the same stencil-run order as the XLA candidate argmin).
+        summed = acc[:_A_ROWS] + jnp.stack(rows, axis=0)
+        elig_pair = (mask & (ds <= cfg.merge_dist)
+                     & (irow(_ELIG) > 0.5) & (jcol(_ELIG) > 0.5))
+        big = jnp.float32(_MERGE_BIG)
+        dmask = jnp.where(elig_pair, ds, big)
+        wbest = jnp.min(dmask, axis=0)                       # (B,)
+        rowj = jcol(_ROW) * jnp.ones_like(ds)
+        pmin = jnp.min(jnp.where(dmask == wbest[None, :], rowj, big),
+                       axis=0)
+        better = wbest < acc[_A_BESTD]
+        best_d = jnp.where(better, wbest, acc[_A_BESTD])
+        best_p = jnp.where(better, jnp.where(pmin < big, pmin, -1.0),
+                           acc[_A_BESTP])
+        return jnp.concatenate(
+            [summed, best_d[None, :], best_p[None, :]], axis=0)
 
     return window_body
 
@@ -750,6 +831,18 @@ def _make_unidyn_b_body(hmT, i_valid, cfg, subbin_threshold,
     return window_body
 
 
+def _extract_merge_partner(res_a, cfg: SPHConfig, n: int):
+    """Partner row ids from the pass-A result rows.  Rows that fell
+    outside their tile (overflow / out-of-domain) read back as 0.0 in
+    every column, so the pair-count row gates them to -1 (a particle
+    with zero pairs cannot have an eligible partner)."""
+    if cfg.merge_dist <= 0:
+        return jnp.full((n,), -1, jnp.int32)
+    mp = res_a[:, _A_BESTP]
+    return jnp.where((res_a[:, _A_CNT] > 0) & (mp >= 0),
+                     mp.astype(jnp.int32), -1)
+
+
 def _run_column_kernel(kern_fn, col_start, packed, gx, gy, b, w_cap, cfg,
                        **kern_kw):
     kern = functools.partial(kern_fn, gx=gx, gy=gy, b=b, w_cap=w_cap,
@@ -827,9 +920,10 @@ def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     overflow = jnp.sum(jnp.maximum(col_count - b, 0))
 
     if order is not None:
-        packed = _pack_unidyn_by_order(sorted_state, order, bt, pad)
+        packed = _pack_unidyn_by_order(sorted_state, order, bt, pad, cfg)
     else:
-        packed = _pack_unidyn(sorted_state, bt, pad)
+        packed = _set_merge_cols(_pack_unidyn(sorted_state, bt, pad),
+                                 sorted_state, bt, cfg)
     out_a = _run_column_kernel(_unidyn_kernel_a, col_start, packed,
                                gx, gy, b, w_cap, cfg,
                                subbin_threshold=subbin_threshold,
@@ -870,6 +964,7 @@ def unidyn_forces_pallas(sorted_state: ParticleState, bt: BinTable,
         delsolid=res_b[:, _B_DSOL],
         delfluid=res_b[:, _B_DFLU],
         has_pair=res_a[:, _A_CNT] > 0,
+        merge_partner=_extract_merge_partner(res_a, cfg, n),
         overflow=overflow,
     )
 
@@ -949,9 +1044,16 @@ def _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body_fn, acc0,
     return jax.lax.fori_loop(xr_lo, xr_hi + 1, row_body, acc0)
 
 
-def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg, rb):
+def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg, rb,
+                       gx, gy):
     """Load the home block, derive lane validity and the block's cell
-    bounding box (scalars via masked lane reductions)."""
+    bounding box.
+
+    The x-plane range comes from ``col_start`` (the planes whose sorted
+    row ranges intersect [blk, blk+rb)) in LOCAL plane ids, so the same
+    kernel serves the full cube and a sharded x-slab whose global
+    x_offset is a traced value (binning.GridSpec); the y range comes
+    from positions (y is never sharded, global == local)."""
     cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(blk, rb)], home,
                                sems.at[2])
     cp.start()
@@ -959,13 +1061,21 @@ def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg, rb):
     hmT = home[...].T
     i_valid = hmT[_ALIVE, :][None, :] > 0.5
     cs = jnp.float32(cfg.cell_size)
-    cxi = jnp.floor((hmT[_X, :][None, :] - cfg.xmin) / cs)
     cyi = jnp.floor((hmT[_X + 1, :][None, :] - cfg.ymin) / cs)
     big = jnp.float32(1e9)
-    cx_min = jnp.min(jnp.where(i_valid, cxi, big)).astype(jnp.int32)
-    cx_max = jnp.max(jnp.where(i_valid, cxi, -big)).astype(jnp.int32)
     cy_min = jnp.min(jnp.where(i_valid, cyi, big)).astype(jnp.int32)
     cy_max = jnp.max(jnp.where(i_valid, cyi, -big)).astype(jnp.int32)
+
+    def plane_body(xr, lohi):
+        lo, hi = lohi
+        inter = ((col_start[(xr + 1) * gy] > blk)
+                 & (col_start[xr * gy] < blk + rb))
+        return (jnp.where(inter, jnp.minimum(lo, xr), lo),
+                jnp.where(inter, jnp.maximum(hi, xr), hi))
+
+    cx_min, cx_max = jax.lax.fori_loop(
+        0, gx, plane_body,
+        (jnp.int32(gx), jnp.int32(-1)))
     return hmT, i_valid, cx_min, cx_max, cy_min, cy_max
 
 
@@ -979,7 +1089,7 @@ def _base_rowblock_kernel(col_start, packed_hbm, out_hbm, home, wbuf2,
     def _():
         hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
-                               cfg, rb)
+                               cfg, rb, gx, gy)
         body = _make_base_body(hmT, i_valid, cfg, xy_cells=True)
         acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
                               jnp.zeros((4, rb), jnp.float32),
@@ -1004,15 +1114,16 @@ def _unidyn_rowblock_kernel_a(col_start, packed_hbm, out_hbm, home,
     def _():
         hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
-                               cfg, rb)
+                               cfg, rb, gx, gy)
         body = _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
                                    xy_cells=True)
         acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
-                              jnp.zeros((_A_ROWS, rb), jnp.float32),
+                              _unidyn_a_acc0(rb, cfg),
                               cx_min, cx_max, cy_min, cy_max,
                               gx=gx, gy=gy, ch=ch)
+        nr = acc.shape[0]
         otile[...] = jnp.concatenate(
-            [acc.T, jnp.zeros((rb, F - _A_ROWS), jnp.float32)], axis=1)
+            [acc.T, jnp.zeros((rb, F - nr), jnp.float32)], axis=1)
         ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, rb)],
                                     sems.at[2])
         ocp.start()
@@ -1030,7 +1141,7 @@ def _unidyn_rowblock_kernel_b(col_start, packed_hbm, out_hbm, home,
     def _():
         hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
-                               cfg, rb)
+                               cfg, rb, gx, gy)
         body = _make_unidyn_b_body(hmT, i_valid, cfg, subbin_threshold,
                                    xy_cells=True)
         acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
@@ -1086,10 +1197,14 @@ def _rows_to_particle(out, bt, n, order):
 
 def base_forces_rowblock(state: ParticleState, bt: BinTable,
                          cfg: SPHConfig, order=None, w_chunk: int = 32,
-                         rb: int = RB):
-    """Base-variant forces with the row-block kernel (full cube only).
-    Returns (sum_w, dpress, overflow==0) like base_forces_pallas."""
-    gx = gy = cfg.grid_size
+                         rb: int = RB, grid=None):
+    """Base-variant forces with the row-block kernel.  ``grid``: the
+    binning.GridSpec the state was sorted with (None = full cube; a
+    sharded x-slab passes its local GridSpec — the home-block plane
+    range is derived from col_start in local plane ids, so a traced
+    x_offset is fine).  Returns (sum_w, dpress, overflow==0) like
+    base_forces_pallas."""
+    gx, gy = _grid_extents(cfg, grid)
     n = state.capacity
     ch = w_chunk or 32
     pad = max(rb, ch)
@@ -1108,10 +1223,12 @@ def base_forces_rowblock(state: ParticleState, bt: BinTable,
 def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
                            cfg: SPHConfig, order=None,
                            w_chunk: int = 32, drift_fix=None,
-                           subbin_threshold=None, rb: int = RB):
-    """Unidyn forces with the row-block kernels (full cube only); same
-    result dict as unidyn_forces_pallas, overflow always 0."""
-    gx = gy = cfg.grid_size
+                           subbin_threshold=None, rb: int = RB,
+                           grid=None):
+    """Unidyn forces with the row-block kernels (``grid``: GridSpec for
+    sharded x-slabs, see base_forces_rowblock); same result dict as
+    unidyn_forces_pallas, overflow always 0."""
+    gx, gy = _grid_extents(cfg, grid)
     n = state.capacity
     ch = w_chunk or 32
     pad = max(rb, ch)
@@ -1119,7 +1236,7 @@ def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
     if order is None:
         ident = jnp.arange(n, dtype=jnp.int32)
     packed = _pack_unidyn_by_order(state, order if order is not None
-                                   else ident, bt, pad)
+                                   else ident, bt, pad, cfg)
     col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
     out_a = _run_rowblock_kernel(_unidyn_rowblock_kernel_a, col_start,
                                  packed, n, gx, gy, ch, cfg, rb=rb,
@@ -1152,5 +1269,6 @@ def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
         delsolid=res_b[:, _B_DSOL],
         delfluid=res_b[:, _B_DFLU],
         has_pair=res_a[:, _A_CNT] > 0,
+        merge_partner=_extract_merge_partner(res_a, cfg, n),
         overflow=jnp.zeros((), jnp.int32),
     )

@@ -61,18 +61,16 @@ def resolve_subbin(cfg: SPHConfig, subbin_parity) -> bool:
 
 
 def use_pallas_forces(cfg: SPHConfig, subbin_parity=None) -> bool:
-    """Whether the Pallas column-window force backend handles this
-    config.  It covers both variants incl. unidyn subbin-parity mode;
-    it falls back to XLA for base-variant subbin mode (not a reference
-    combination) and for merge-enabled unidyn runs (merge partner
-    search needs the XLA candidate set)."""
+    """Whether the Pallas force backend handles this config.  It covers
+    both variants incl. unidyn subbin-parity mode and merge-enabled
+    unidyn runs (the partner search runs inside the pass-A kernels);
+    it falls back to XLA only for base-variant subbin mode (not a
+    reference combination)."""
     sp = resolve_subbin(cfg, subbin_parity)
     backend = cfg.force_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    return (backend == "pallas"
-            and not (sp and cfg.variant == "base")
-            and not (cfg.variant != "base" and cfg.merge_dist > 0))
+    return backend == "pallas" and not (sp and cfg.variant == "base")
 
 
 def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
@@ -88,8 +86,7 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
     use_pallas = use_pallas_forces(cfg, subbin_parity)
     assert order is None or use_pallas, \
         "sort_tables mode needs the Pallas backend"
-    rowblock = (grid is None
-                and resolve_kernel_family(cfg, state.capacity) == "rowblock")
+    rowblock = resolve_kernel_family(cfg, state.capacity) == "rowblock"
     if use_pallas and cfg.variant == "base":
         from tpufluids.forces import ForceAccum
         from tpufluids.sph_pallas import (base_forces_pallas,
@@ -98,7 +95,7 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
         if rowblock:
             sw, dp, kovf = base_forces_rowblock(
                 state, bt, cfg, order=order,
-                w_chunk=cfg.pallas_w_chunk)
+                w_chunk=cfg.pallas_w_chunk, grid=grid)
         else:
             sw, dp, kovf = base_forces_pallas(
                 state, bt, cfg, b=cfg.pallas_col_cap,
@@ -125,7 +122,7 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
             r = unidyn_forces_rowblock(
                 state, bt, cfg, order=order,
                 w_chunk=cfg.pallas_w_chunk, drift_fix=drift_fix,
-                subbin_threshold=st)
+                subbin_threshold=st, grid=grid)
         else:
             r = unidyn_forces_pallas(
                 state, bt, cfg, b=cfg.pallas_col_cap,
