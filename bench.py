@@ -197,8 +197,11 @@ def main():
     # verify/bench_configs.py output
     bl = {}
     try:
+        # stencil advection (same mode as configs 2-4) dispatches the
+        # whole-step-in-one-kernel 2D tier — the multi-call 2D step is
+        # dispatch-bound at 128^2
         c1 = stam.StamConfig(n=128, dt=0.1, diff=1e-5, visc=1e-5,
-                             jacobi_iters=20)
+                             jacobi_iters=20, advect_mode="stencil")
         s1 = stam.make_grid2d(c1)
         src = jnp.zeros((130, 130), jnp.float32).at[60:68, 4:8].set(5.0)
         fv = jnp.zeros_like(src).at[60:68, 4:8].set(2.0)

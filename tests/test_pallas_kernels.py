@@ -297,6 +297,56 @@ def test_step2d_pallas_solver_matches_xla_interpret():
                                       np.asarray(getattr(ref, f)), f)
 
 
+@pytest.mark.parametrize("forcing", [False, True])
+def test_step2d_whole_matches_multicall_interpret(forcing):
+    """The fused whole-2D-step kernel must be bit-identical to the
+    multi-call step2d (XLA solver + stencil advect) on the same
+    config, including buoyancy/vorticity forcing and temp diffusion."""
+    from jax.experimental.pallas import tpu as pltpu
+    kw = dict(buoyancy_alpha=0.04, buoyancy_beta=0.9,
+              vorticity_eps=1.5, temp_diff=2e-5) if forcing else {}
+    cfg = stam.StamConfig(n=32, dt=0.1, diff=1e-5, visc=1e-5,
+                          jacobi_iters=8, advect_mode="stencil", **kw)
+    s = stam.make_grid2d(cfg)
+    # positive background dens/temp: diffusing a localized source on a
+    # zero background drives the far-field Jacobi products subnormal,
+    # where XLA:CPU FMA-contraction of the two (structurally
+    # different) graphs differs at ~1e-32 — physically void, but it
+    # breaks assert_array_equal
+    s = s.replace(dens=jnp.full_like(s.dens, 0.1),
+                  temp=jnp.full_like(s.temp, 0.2))
+    src = jnp.zeros((34, 34), jnp.float32).at[12:18, 4:8].set(5.0)
+    sources = {"dens": src,
+               "fv": jnp.zeros_like(src).at[12:18, 4:8].set(2.0),
+               "temp": jnp.zeros_like(src).at[12:18, 4:8].set(1.0)}
+    # jit BOTH paths: XLA:CPU fuses multiply-add chains into FMAs
+    # inside any jit scope (incl. the interpret-mode kernel body), so
+    # an eager dense reference differs by ~1e-8; jitted-vs-jitted the
+    # contraction decisions match and agreement is bit-exact
+    ref = s
+    step_ref = jax.jit(lambda st: stam.step2d(st, cfg, sources))
+    for _ in range(3):
+        ref = step_ref(ref)
+    cfgp = cfg.replace(solver_backend="pallas")
+    step_got = jax.jit(lambda st: stam.step2d(st, cfgp, sources))
+    got = s
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(3):
+            got = step_got(got)
+    for f in ("u", "v", "dens", "temp"):
+        # 1-ulp tolerance: the whole-step multiply-add chains sit in a
+        # structurally different graph than the dense slice-assign
+        # reference, and XLA:CPU's FMA-contraction choice differs on
+        # isolated elements (~0.1% of cells at rel ~7e-8).  The stage
+        # math itself is op-order exact: each stage compared eagerly
+        # against its dense twin is bit-identical (and the solve
+        # kernel asserts bit equality in
+        # test_lin_solve2d_pallas_matches_dense_interpret).
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(ref, f)),
+                                   rtol=3e-7, atol=1e-8, err_msg=f)
+
+
 @pytest.mark.parametrize("ty", [8, 16])
 def test_forcing_pallas_ytiled_interpret(ty):
     """y-tiled forcing windows (hy=8 halo — sublane DMA offsets/sizes

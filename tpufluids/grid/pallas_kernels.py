@@ -1908,6 +1908,55 @@ def _solve_rb_packed_kernel(xA_hbm, xB_hbm, a0_hbm, b0_hbm, oA_hbm,
         cp.wait()
 
 
+def _geom2d(nx, nyy):
+    """(ii, jj, col_int, interior) iota masks for a full (nx, nyy)
+    2D field with a one-cell ghost frame."""
+    shape = (nx, nyy)
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    col_int = (jj >= 1) & (jj <= nyy - 2)
+    interior = (ii >= 1) & (ii <= nx - 2) & col_int
+    return ii, jj, col_int, interior
+
+
+def _set_bnd2d_stage(xx, geom, *, sx, sy, nx, nyy):
+    """stam.set_bnd2d on a VMEM-resident value, in its exact order:
+    x edges (interior cols), then full y edges, then corner averages —
+    bit-compatible with the dense set_bnd2d (tested via the solve and
+    fused-step kernels)."""
+    ii, jj, col_int, _ = geom
+    xx = jnp.where((ii == 0) & col_int, sx * _shift(xx, 1, 0), xx)
+    xx = jnp.where((ii == nx - 1) & col_int,
+                   sx * _shift(xx, -1, 0), xx)
+    xx = jnp.where(jj == 0, sy * _shift(xx, 1, 1), xx)
+    xx = jnp.where(jj == nyy - 1, sy * _shift(xx, -1, 1), xx)
+    dn, up = _shift(xx, 1, 0), _shift(xx, -1, 0)
+    rt, lf = _shift(xx, 1, 1), _shift(xx, -1, 1)
+    xx = jnp.where((ii == 0) & (jj == 0), 0.5 * (dn + rt), xx)
+    xx = jnp.where((ii == 0) & (jj == nyy - 1), 0.5 * (dn + lf), xx)
+    xx = jnp.where((ii == nx - 1) & (jj == 0), 0.5 * (up + rt), xx)
+    xx = jnp.where((ii == nx - 1) & (jj == nyy - 1),
+                   0.5 * (up + lf), xx)
+    return xx
+
+
+def _solve2d_sweeps(vx, x0v, geom, *, a, c_inv, sx, sy, nx, nyy, iters):
+    """``iters`` Jacobi sweeps + set_bnd2d on a VMEM ref — the loop
+    body of stam.lin_solve2d, bit-compatible (tested)."""
+    _, _, _, interior = geom
+
+    def body(_, carry):
+        xx = vx[...]
+        nb = (_shift(xx, -1, 0) + _shift(xx, 1, 0)
+              + _shift(xx, -1, 1) + _shift(xx, 1, 1))
+        xx = jnp.where(interior, (x0v + a * nb) * c_inv, xx)
+        vx[...] = _set_bnd2d_stage(xx, geom, sx=sx, sy=sy, nx=nx,
+                                   nyy=nyy)
+        return carry
+
+    jax.lax.fori_loop(0, iters, body, 0)
+
+
 def _lin_solve2d_kernel(x_hbm, x0_hbm, o_hbm, vx, v0, sems, *, a, c_inv,
                         sx, sy, nx, nyy, iters):
     """Whole 2D solve in one kernel invocation: both arrays live in
@@ -1921,36 +1970,9 @@ def _lin_solve2d_kernel(x_hbm, x0_hbm, o_hbm, vx, v0, sems, *, a, c_inv,
         cp.start()
     for cp in cps:
         cp.wait()
-    shape = (nx, nyy)
-    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    col_int = (jj >= 1) & (jj <= nyy - 2)
-    interior = (ii >= 1) & (ii <= nx - 2) & col_int
-    x0v = v0[...]
-
-    def body(_, carry):
-        xx = vx[...]
-        nb = (_shift(xx, -1, 0) + _shift(xx, 1, 0)
-              + _shift(xx, -1, 1) + _shift(xx, 1, 1))
-        xx = jnp.where(interior, (x0v + a * nb) * c_inv, xx)
-        # set_bnd2d in its exact order: x edges (interior cols), then
-        # full y edges, then corner averages (stam.set_bnd2d)
-        xx = jnp.where((ii == 0) & col_int, sx * _shift(xx, 1, 0), xx)
-        xx = jnp.where((ii == nx - 1) & col_int,
-                       sx * _shift(xx, -1, 0), xx)
-        xx = jnp.where(jj == 0, sy * _shift(xx, 1, 1), xx)
-        xx = jnp.where(jj == nyy - 1, sy * _shift(xx, -1, 1), xx)
-        dn, up = _shift(xx, 1, 0), _shift(xx, -1, 0)
-        rt, lf = _shift(xx, 1, 1), _shift(xx, -1, 1)
-        xx = jnp.where((ii == 0) & (jj == 0), 0.5 * (dn + rt), xx)
-        xx = jnp.where((ii == 0) & (jj == nyy - 1), 0.5 * (dn + lf), xx)
-        xx = jnp.where((ii == nx - 1) & (jj == 0), 0.5 * (up + rt), xx)
-        xx = jnp.where((ii == nx - 1) & (jj == nyy - 1),
-                       0.5 * (up + lf), xx)
-        vx[...] = xx
-        return carry
-
-    jax.lax.fori_loop(0, iters, body, 0)
+    geom = _geom2d(nx, nyy)
+    _solve2d_sweeps(vx, v0[...], geom, a=a, c_inv=c_inv, sx=sx, sy=sy,
+                    nx=nx, nyy=nyy, iters=iters)
     ocp = pltpu.make_async_copy(vx, o_hbm, sems.at[0])
     ocp.start()
     ocp.wait()
@@ -1976,6 +1998,176 @@ def lin_solve2d_pallas(b: int, x, x0, a: float, c: float, iters: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(x, x0)
+
+
+def _bnd2d(xx, b, geom, *, nx, nyy):
+    """_set_bnd2d_stage with scales resolved from the field code."""
+    return _set_bnd2d_stage(xx, geom, sx=-1.0 if b == 1 else 1.0,
+                            sy=-1.0 if b == 2 else 1.0, nx=nx, nyy=nyy)
+
+
+def _advect2d_out(q, du, dv, geom, *, n):
+    """9-tap stencil semi-Lagrangian interior values on a full
+    (nx, nyy) array — the in-kernel form of stam.advect2d_stencil
+    (stam.py:317-363, _SHIFTS[2] tap order; bit-compatible, tested).
+    ``du``/``dv`` are the raw backtrace displacements (-dt0 * vel);
+    values outside the interior are ignored."""
+    ii, jj, _, _ = geom
+    iif, jjf = ii.astype(jnp.float32), jj.astype(jnp.float32)
+    offx = jnp.clip(jnp.clip(du, -1.0, 1.0), 0.5 - iif, n + 0.5 - iif)
+    offy = jnp.clip(jnp.clip(dv, -1.0, 1.0), 0.5 - jjf, n + 0.5 - jjf)
+    out = jnp.zeros_like(q)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(offx - dx))
+            wgt = wgt * jnp.maximum(0.0, 1.0 - jnp.abs(offy - dy))
+            out = out + wgt * _shift(_shift(q, dx, 0), dy, 1)
+    return out
+
+
+def _step2d_whole_kernel(u_hbm, v_hbm, d_hbm, t_hbm, uo, vo_, do_, to,
+                         vu, vv, vd, vt, vp, vdiv, sems, *, nx, nyy, n,
+                         dt, h, iters, eps, b_alpha, b_beta, t_amb,
+                         visc_ac, diff_ac, temp_ac, dt0):
+    """One ENTIRE 2D smoke step in a single kernel call (the 2D analog
+    of _step_whole_kernel): forcing -> diffuse(u,v) -> project ->
+    advect(u,v) -> project -> diffuse/advect(dens,temp), all fields
+    VMEM-resident.  Composed from the same _solve2d_sweeps /
+    _set_bnd2d_stage helpers as lin_solve2d_pallas; every stage is
+    op-order exact vs its dense twin in stam.step2d with
+    advect_mode="stencil" (the end-to-end step agrees to 1 ulp — XLA
+    FMA-contracts the structurally different graphs differently on
+    isolated elements; tested).  The multi-call 2D step at 128^2
+    is dominated by per-op dispatch of hundreds of tiny kernels — this
+    replaces them with one call."""
+    cps = []
+    for i, (src, dstv) in enumerate(((u_hbm, vu), (v_hbm, vv),
+                                     (d_hbm, vd), (t_hbm, vt))):
+        cp = pltpu.make_async_copy(src, dstv, sems.at[i])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+    geom = _geom2d(nx, nyy)
+    _, _, _, interior = geom
+
+    def bnd(xx, b):
+        return _bnd2d(xx, b, geom, nx=nx, nyy=nyy)
+
+    # buoyancy2d (stam.py:697-702)
+    if b_alpha or b_beta:
+        f = -b_alpha * vd[...] + b_beta * (vt[...] - t_amb)
+        vv[...] = bnd(jnp.where(interior, vv[...] + dt * f, vv[...]), 2)
+
+    # vorticity_confinement2d (stam.py:641-655)
+    if eps:
+        u, v = vu[...], vv[...]
+        curl = 0.5 * ((_shift(v, 1, 0) - _shift(v, -1, 0))
+                      - (_shift(u, 1, 1) - _shift(u, -1, 1))) / h
+        mag = jnp.where(interior, jnp.abs(curl), 0.0)
+        gx = 0.5 * (_shift(mag, 1, 0) - _shift(mag, -1, 0)) / h
+        gy = 0.5 * (_shift(mag, 1, 1) - _shift(mag, -1, 1)) / h
+        norm = jnp.sqrt(gx * gx + gy * gy) + 1e-5
+        gx, gy = gx / norm, gy / norm
+        fu = eps * h * gy * curl
+        fv = -eps * h * gx * curl
+        vu[...] = bnd(jnp.where(interior, u + dt * fu, u), 1)
+        vv[...] = bnd(jnp.where(interior, v + dt * fv, v), 2)
+
+    def diffuse(ref, b, ac):
+        a, c = ac
+        _solve2d_sweeps(ref, ref[...], geom, a=a, c_inv=1.0 / c,
+                        sx=-1.0 if b == 1 else 1.0,
+                        sy=-1.0 if b == 2 else 1.0,
+                        nx=nx, nyy=nyy, iters=iters)
+
+    if visc_ac is not None:
+        diffuse(vu, 1, visc_ac)
+        diffuse(vv, 2, visc_ac)
+
+    def project():
+        # project2d (stam.py:422-437): div, zero-guess Jacobi solve,
+        # gradient subtraction, wall fixes
+        u, v = vu[...], vv[...]
+        dv = (-0.5 * h) * (((_shift(u, 1, 0) - _shift(u, -1, 0))
+                            + _shift(v, 1, 1)) - _shift(v, -1, 1))
+        vdiv[...] = bnd(jnp.where(interior, dv, 0.0), 0)
+        vp[...] = jnp.zeros((nx, nyy), jnp.float32)
+        _solve2d_sweeps(vp, vdiv[...], geom, a=1.0, c_inv=1.0 / 4.0,
+                        sx=1.0, sy=1.0, nx=nx, nyy=nyy, iters=iters)
+        p = vp[...]
+        un = u + -0.5 * (_shift(p, 1, 0) - _shift(p, -1, 0)) / h
+        vn = v + -0.5 * (_shift(p, 1, 1) - _shift(p, -1, 1)) / h
+        vu[...] = bnd(jnp.where(interior, un, u), 1)
+        vv[...] = bnd(jnp.where(interior, vn, v), 2)
+
+    project()
+    u0, v0 = vu[...], vv[...]
+    du, dv_ = -dt0 * u0, -dt0 * v0
+    vu[...] = bnd(jnp.where(interior,
+                            _advect2d_out(u0, du, dv_, geom, n=n), u0), 1)
+    vv[...] = bnd(jnp.where(interior,
+                            _advect2d_out(v0, du, dv_, geom, n=n), v0), 2)
+    project()
+
+    u, v = vu[...], vv[...]
+    du, dv_ = -dt0 * u, -dt0 * v
+    if diff_ac is not None:
+        diffuse(vd, 0, diff_ac)
+    d0 = vd[...]
+    vd[...] = bnd(jnp.where(interior,
+                            _advect2d_out(d0, du, dv_, geom, n=n), d0), 0)
+    if temp_ac is not None:
+        diffuse(vt, 0, temp_ac)
+    t0 = vt[...]
+    vt[...] = bnd(jnp.where(interior,
+                            _advect2d_out(t0, du, dv_, geom, n=n), t0), 0)
+
+    wcps = []
+    for i, (ref, out) in enumerate(((vu, uo), (vv, vo_), (vd, do_),
+                                    (vt, to))):
+        cp = pltpu.make_async_copy(ref, out, sems.at[i])
+        cp.start()
+        wcps.append(cp)
+    for cp in wcps:
+        cp.wait()
+
+
+def step2d_whole_ok(shape):
+    """True when the fused 2D whole-step kernel fits ``shape`` (6
+    resident buffers + the advect stage's ~9 tap temporaries)."""
+    nx, nyy = shape
+    return nx * nyy * 4 * 20 <= 96 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "iters", "dt", "h", "n", "eps", "b_alpha", "b_beta", "t_amb",
+    "visc_ac", "diff_ac", "temp_ac", "dt0"))
+def step2d_whole_pallas(u, v, dens, temp, *, iters, dt, h, n, eps,
+                        b_alpha, b_beta, t_amb, visc_ac, diff_ac,
+                        temp_ac, dt0):
+    """Fused whole 2D step (see _step2d_whole_kernel).  Dispatched by
+    stam.step2d for the pallas/stencil/jacobi config (any size that
+    passes step2d_whole_ok — 2D grids are trivially VMEM-resident)."""
+    nx, nyy = u.shape
+    kern = functools.partial(
+        _step2d_whole_kernel, nx=nx, nyy=nyy, n=n, dt=dt, h=h,
+        iters=iters, eps=eps, b_alpha=b_alpha, b_beta=b_beta,
+        t_amb=t_amb, visc_ac=visc_ac, diff_ac=diff_ac, temp_ac=temp_ac,
+        dt0=dt0)
+    shape = (nx, nyy)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 4),
+        out_shape=tuple(jax.ShapeDtypeStruct(shape, jnp.float32)
+                        for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                        for _ in range(6)]
+                       + [pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(u, v, dens, temp)
 
 
 def rb_packed_plan(shape, iters):

@@ -715,6 +715,33 @@ def step2d(state: GridState2D, cfg: StamConfig,
         v = v + cfg.dt * sources.get("fv", 0.0)
         dens = dens + cfg.dt * sources.get("dens", 0.0)
         temp = temp + cfg.dt * sources.get("temp", 0.0)
+    n_ = u.shape[0] - 2
+    if not with_residual and _use_pallas(cfg):
+        from tpufluids.grid.pallas_kernels import (step2d_whole_ok,
+                                                   step2d_whole_pallas)
+        if (cfg.advect_mode == "stencil" and cfg.projection == "jacobi"
+                and cfg.solver_dtype != "bfloat16"
+                and step2d_whole_ok(u.shape)):
+            # fused whole step: ONE kernel call runs the entire 2D
+            # step with every field VMEM-resident (bit-identical to
+            # the multi-call path below, tested) — the multi-call
+            # step at 128^2 is dominated by per-op dispatch
+            def _ac(c):
+                a = cfg.dt * c * n_ * n_
+                return (float(a), float(1.0 + 4.0 * a))
+
+            u, v, dens, temp = step2d_whole_pallas(
+                u, v, dens, temp, iters=cfg.jacobi_iters,
+                dt=float(cfg.dt), h=1.0 / n_, n=n_,
+                eps=float(cfg.vorticity_eps),
+                b_alpha=float(cfg.buoyancy_alpha),
+                b_beta=float(cfg.buoyancy_beta),
+                t_amb=float(cfg.ambient_temp),
+                visc_ac=_ac(cfg.visc) if cfg.visc else None,
+                diff_ac=_ac(cfg.diff) if cfg.diff else None,
+                temp_ac=_ac(cfg.temp_diff) if cfg.temp_diff else None,
+                dt0=float(cfg.dt * n_))
+            return GridState2D(u=u, v=v, dens=dens, temp=temp)
     if cfg.buoyancy_alpha or cfg.buoyancy_beta:
         v = buoyancy2d(v, dens, temp, cfg)
     if cfg.vorticity_eps:
