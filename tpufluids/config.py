@@ -167,9 +167,12 @@ class SPHConfig:
     # static lane chunks of this size and skips chunks past the
     # column's population (sph_pallas._make_base_body_hc), so home-side
     # VPU work scales with occupancy instead of the cap (~56% at the
-    # 524k uniform fill's suggested cap).  0 = whole-cap tiles.
-    # Base variant only; experimental until TPU-measured.
-    pallas_h_chunk: int = 0
+    # 524k uniform fill's suggested cap).  0 = whole-cap tiles; -1 =
+    # auto (128 when the column cap exceeds one lane tile, else 0 —
+    # measured v5e at 524k uniform fill, cap 584: h_chunk 0 = 127.4,
+    # 64 = 179.2, 128 = 111.3 ms/step with bitwise-identical
+    # positions; verify/bench_sph_hchunk_ab.py).  Base variant only.
+    pallas_h_chunk: int = -1
     # Pallas force-kernel family: "rowblock" (home block = 128
     # consecutive sorted rows — full lane utilization, NO capacity cap,
     # overflow impossible), "column" (one (x,y) grid column per

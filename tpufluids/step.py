@@ -97,11 +97,17 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
                 state, bt, cfg, order=order,
                 w_chunk=cfg.pallas_w_chunk, grid=grid)
         else:
+            # h_chunk auto (-1): 128 when the column cap exceeds one
+            # lane tile (measured v5e 524k/cap-584: 111.3 vs 127.4
+            # ms/step; verify/bench_sph_hchunk_ab.py), else whole-cap
+            hc = cfg.pallas_h_chunk
+            if hc < 0:
+                hc = 128 if cfg.pallas_col_cap > 128 else 0
             sw, dp, kovf = base_forces_pallas(
                 state, bt, cfg, b=cfg.pallas_col_cap,
                 w_cap=cfg.pallas_col_cap, grid=grid, order=order,
                 w_chunk=cfg.pallas_w_chunk,
-                h_chunk=cfg.pallas_h_chunk)
+                h_chunk=hc)
         z3 = jnp.zeros((n, 3), jnp.float32)
         z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
