@@ -88,3 +88,29 @@ def test_step2d_with_dct_projection():
         s = stam.step2d(s, cfg)
     for f in ("u", "v", "dens", "temp"):
         assert bool(jnp.all(jnp.isfinite(getattr(s, f)))), f
+
+
+def test_dct_precision_tiers_solve_and_order():
+    """dct_precision plumbs through to the transform matmuls: every
+    tier solves the system far below the 20-sweep Jacobi residual on
+    CPU-sized grids, and cannot beat the f32-emulation tier.  (The
+    ms-per-pass tradeoff is TPU-measured in
+    verify/bench_dct_precision.py.)"""
+    n = 32
+    x0 = _rand_rhs(n, seed=5)
+    res = {}
+    for prec in ("highest", "high", "default"):
+        cfg = stam.StamConfig(n=n, projection="dct", dct_precision=prec)
+        p = stam.dct_solve3d(x0, cfg)
+        res[prec] = float(stam.poisson_residual3d(p, x0))
+        assert np.isfinite(res[prec])
+    # 20 red-black sweeps for scale
+    p_rb = stam.lin_solve3d(0, jnp.zeros_like(x0), x0, 1.0, 6.0, 20,
+                            red_black=True)
+    res_rb = float(stam.poisson_residual3d(p_rb, x0))
+    assert res["highest"] <= res["high"] * 1.01
+    assert res["highest"] <= res["default"] * 1.01
+    # on CPU all precisions lower to f32 dots; on TPU "high" stays
+    # orders below the sweep residual (measured) — here just require
+    # every tier to be a valid solve
+    assert res["default"] < res_rb or res["default"] < 1e-4

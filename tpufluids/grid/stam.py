@@ -70,6 +70,12 @@ class StamConfig:
     # residual ~1e-6 in one fixed-cost pass — see dct_solve3d)
     projection: str = "jacobi"
     mg_cycles: int = 2
+    # MXU precision for the DCT transform matmuls: "highest" (6-pass
+    # f32 emulation, residual ~1e-11), "high" (3 bf16 passes) or
+    # "default" (1 bf16 pass).  The solve is FLOP-bound at large n, so
+    # lower precision trades residual digits for MXU passes — see
+    # verify/bench_dct_precision.py for the measured tradeoff.
+    dct_precision: str = "highest"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -514,7 +520,12 @@ def _dct_mats(n):
     return C, Ci, lam1
 
 
-def _dct_solve_interior(xi):
+_DCT_PREC = {"highest": jax.lax.Precision.HIGHEST,
+             "high": jax.lax.Precision.HIGH,
+             "default": jax.lax.Precision.DEFAULT}
+
+
+def _dct_solve_interior(xi, precision="highest"):
     """Exact Neumann-Poisson solve on an interior array of any rank.
 
     Solves `(2d) x - sum_nb x = xi` (the fixed point of lin_solve
@@ -525,8 +536,11 @@ def _dct_solve_interior(xi):
     diagonal scale with the q=0 gauge mode zeroed, inverse DCT — all
     dense (n, n) matmuls that run on the MXU where the TPU's FLOPs
     are (the TPU-first alternative to iterative sweeps; the CUDA
-    reference has no Poisson solver at all)."""
-    prec = jax.lax.Precision.HIGHEST
+    reference has no Poisson solver at all).
+
+    ``precision`` selects the MXU passes per matmul (StamConfig
+    .dct_precision): f32-emulation / 3x bf16 / 1x bf16."""
+    prec = _DCT_PREC[precision]
     nd = xi.ndim
     lam = 0.0
     invs = []
@@ -546,14 +560,18 @@ def dct_solve3d(x0, cfg=None):
     """Spectral projection solve on the ghosted 3D array (see
     _dct_solve_interior).  Residual ~1e-6-relative (float32 transform
     roundoff) in a fixed ~52 GFLOP at 256^3."""
-    sol = _dct_solve_interior(x0[1:-1, 1:-1, 1:-1])
+    sol = _dct_solve_interior(
+        x0[1:-1, 1:-1, 1:-1],
+        "highest" if cfg is None else cfg.dct_precision)
     p = jnp.zeros_like(x0).at[1:-1, 1:-1, 1:-1].set(sol)
     return set_bnd3d(0, p)
 
 
 def dct_solve2d(x0, cfg=None):
     """2D spectral projection solve (lin_solve2d b=0, c=4 system)."""
-    sol = _dct_solve_interior(x0[1:-1, 1:-1])
+    sol = _dct_solve_interior(
+        x0[1:-1, 1:-1],
+        "highest" if cfg is None else cfg.dct_precision)
     p = jnp.zeros_like(x0).at[1:-1, 1:-1].set(sol)
     return set_bnd2d(0, p)
 
