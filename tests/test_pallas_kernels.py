@@ -627,6 +627,39 @@ def test_sph_force_kernel_home_chunk_bitcompat_interpret():
     np.testing.assert_array_equal(np.asarray(dp2), np.asarray(dp0))
 
 
+def test_sph_force_kernel_zband_skip_bitcompat_interpret():
+    """z_skip (skip pair tiles whose z-cell bands cannot be
+    stencil-adjacent) is bitwise identical to the plain h_chunk path:
+    the skipped tiles would have where-masked to exact zeros — the
+    same zeros the cond's false branch supplies.  Uses a tall dense
+    blob so columns span many z cells and tiles DO get skipped."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import BASE_CONFIG
+    from tpufluids.scenes import random_blob
+    from tpufluids.sph_pallas import base_forces_pallas
+    cfg = BASE_CONFIG.replace(max_per_cell=64, grid_size=8,
+                              cell_size=0.25)
+    state = random_blob(600, seed=11, cfg=cfg, span=0.9,
+                        boundary_frac=0.1)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        sw0, dp0, ovf0 = base_forces_pallas(ss, bt, cfg, b=256,
+                                            w_cap=256, w_chunk=64,
+                                            h_chunk=64)
+        sw1, dp1, ovf1 = base_forces_pallas(ss, bt, cfg, b=256,
+                                            w_cap=256, w_chunk=64,
+                                            h_chunk=64, z_skip=True)
+        sw2, dp2, ovf2 = base_forces_pallas(ss, bt, cfg, b=256,
+                                            w_cap=256, w_chunk=64,
+                                            h_chunk=128, z_skip=True)
+    assert int(ovf0) == int(ovf1) == int(ovf2) == 0
+    np.testing.assert_array_equal(np.asarray(sw1), np.asarray(sw0))
+    np.testing.assert_array_equal(np.asarray(dp1), np.asarray(dp0))
+    np.testing.assert_array_equal(np.asarray(sw2), np.asarray(sw0))
+    np.testing.assert_array_equal(np.asarray(dp2), np.asarray(dp0))
+
+
 def test_sph_step_with_pallas_backend_interpret():
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.config import BASE_CONFIG

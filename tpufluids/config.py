@@ -173,6 +173,15 @@ class SPHConfig:
     # 64 = 179.2, 128 = 111.3 ms/step with bitwise-identical
     # positions; verify/bench_sph_hchunk_ab.py).  Base variant only.
     pallas_h_chunk: int = -1
+    # z-band tile skip for the home-chunked column family: skip
+    # (window-chunk x home-chunk) pair tiles whose z-cell bands are
+    # not stencil-adjacent (the cell-sorted packed layout makes both
+    # chunk kinds contiguous z bands; the |czi-czj|<=1 pair gate
+    # zeroes non-adjacent tiles, so skipping them is bitwise
+    # identical — sph_pallas._make_base_body_hc).  -1 = auto (on
+    # whenever h_chunk is active), 0 = off, 1 = on.  Experimental
+    # until TPU-measured (verify/bench_sph_zskip_ab.py).
+    pallas_z_skip: int = 0
     # Pallas force-kernel family: "rowblock" (home block = 128
     # consecutive sorted rows — full lane utilization, NO capacity cap,
     # overflow impossible), "column" (one (x,y) grid column per

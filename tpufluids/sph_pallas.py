@@ -114,7 +114,8 @@ def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, gx, gy,
 
 
 def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
-                gx, gy, b, w_cap, cfg: SPHConfig, w_chunk=0, h_chunk=0):
+                gx, gy, b, w_cap, cfg: SPHConfig, w_chunk=0, h_chunk=0,
+                z_skip=False):
     t = pl.program_id(0)
     cx = t // gy
     cy = t % gy
@@ -127,7 +128,7 @@ def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
         _column_body(col_start, packed_hbm, out_ref, home, win2, sems,
                      t=t, cx=cx, cy=cy, h_start=h_start, h_count=h_count,
                      gx=gx, gy=gy, b=b, w_cap=w_cap, cfg=cfg,
-                     w_chunk=w_chunk, h_chunk=h_chunk)
+                     w_chunk=w_chunk, h_chunk=h_chunk, z_skip=z_skip)
 
 
 def _make_base_body(hmT, i_valid, cfg, *, xy_cells=False):
@@ -207,7 +208,7 @@ def _make_base_body(hmT, i_valid, cfg, *, xy_cells=False):
     return window_body
 
 
-def _make_base_body_hc(hmT, h_count, b, cfg, hc):
+def _make_base_body_hc(hmT, h_count, b, cfg, hc, z_skip=False):
     """Home-lane-chunked twin of _make_base_body: the pair tile is
     (W, hc) instead of (W, B) and chunks past the column's actual
     population are skipped with lax.cond, so home-side VPU work scales
@@ -215,27 +216,59 @@ def _make_base_body_hc(hmT, h_count, b, cfg, hc):
     ``b`` (which must cover the worst column — the 524k uniform fill
     averages ~56% home occupancy at the suggested cap).  All slices
     are static (b % hc == 0 lane chunks); per-lane op order matches
-    _make_base_body exactly, so results are bitwise identical."""
+    _make_base_body exactly, so results are bitwise identical.
+
+    ``z_skip`` additionally skips (window-chunk x home-chunk) tiles
+    whose z-cell bands cannot overlap within one cell: the packed
+    layout is cell-id sorted, so both a home lane chunk and a window
+    sublane chunk span contiguous z bands, and the pair mask's
+    ``|czi - czj| <= 1`` gate (FluidGPU.cu:155's 27-cell stencil in
+    column form) zeroes every pair of non-adjacent bands — the cond
+    just skips computing those exact zeros, so results stay bitwise
+    identical.  A uniform fill whose columns span many z cells only
+    pays for the ~3 band-adjacent window chunks per home chunk."""
     assert b % hc == 0
 
     # Hoist the per-home invariants (lane slice, i_valid, the
-    # _make_base_body closure with its cell-z precompute) out of
-    # window_body: they are identical for all 9 windows x w-chunks, so
-    # building them once per program instead of per (window x chunk)
-    # pair keeps the chunked path's overhead to the lax.cond dispatch.
+    # _make_base_body closure with its cell-z precompute, the chunk's
+    # z-cell band) out of window_body: they are identical for all 9
+    # windows x w-chunks, so building them once per program instead of
+    # per (window x chunk) pair keeps the chunked path's overhead to
+    # the lax.cond dispatch.
+    cs = jnp.float32(cfg.cell_size)
+    zmin = jnp.float32(cfg.zmin)
     bodies = []
     for k in range(b // hc):
         hT = hmT[:, k * hc:(k + 1) * hc]
         i_valid = ((jax.lax.broadcasted_iota(
             jnp.int32, (1, hc), 1) + k * hc < h_count)
             & (hT[_ALIVE, :][None, :] > 0.5))
-        bodies.append(_make_base_body(hT, i_valid, cfg))
+        band = None
+        if z_skip:
+            czi = jnp.floor((hT[_X + 2, :][None, :] - zmin) / cs)
+            band = (jnp.min(jnp.where(i_valid, czi, jnp.float32(3e38))),
+                    jnp.max(jnp.where(i_valid, czi, jnp.float32(-3e38))))
+        bodies.append((_make_base_body(hT, i_valid, cfg), band))
 
     def window_body(acc, wj, w_count, r):
+        if z_skip:
+            czj = jnp.floor((wj[:, _X + 2:_X + 3] - zmin) / cs)
+            j_valid = ((jax.lax.broadcasted_iota(
+                jnp.int32, czj.shape, 0) < w_count)
+                & (wj[:, _ALIVE:_ALIVE + 1] > 0.5))
+            wlo = jnp.min(jnp.where(j_valid, czj, jnp.float32(3e38)))
+            whi = jnp.max(jnp.where(j_valid, czj, jnp.float32(-3e38)))
         tiles = []
-        for k, body in enumerate(bodies):
+        for k, (body, band) in enumerate(bodies):
+            pred = k * hc < h_count
+            if z_skip:
+                # empty bands carry +inf-like lo > -inf-like hi, so
+                # the overlap test is False and the count check is
+                # subsumed; kept anyway for the z_skip=False parity
+                pred = pred & (wlo <= band[1] + 1.0) \
+                    & (whi >= band[0] - 1.0)
             tiles.append(jax.lax.cond(
-                k * hc < h_count,
+                pred,
                 lambda body=body: body(jnp.zeros((4, hc), jnp.float32),
                                        wj, w_count, r),
                 lambda: jnp.zeros((4, hc), jnp.float32)))
@@ -246,7 +279,7 @@ def _make_base_body_hc(hmT, h_count, b, cfg, hc):
 
 def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
                  t, cx, cy, h_start, h_count, gx, gy, b, w_cap, cfg,
-                 w_chunk=0, h_chunk=0):
+                 w_chunk=0, h_chunk=0, z_skip=False):
     cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
                                sems.at[2])
     cp.start()
@@ -256,7 +289,8 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
     # vectors that broadcast over the j sublanes for free
     hmT = home[...].T                                     # (F, B)
     if h_chunk:
-        window_body = _make_base_body_hc(hmT, h_count, b, cfg, h_chunk)
+        window_body = _make_base_body_hc(hmT, h_count, b, cfg, h_chunk,
+                                         z_skip=z_skip)
     else:
         i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
                     < h_count)
@@ -342,7 +376,7 @@ def _pack_unidyn_by_order(state: ParticleState, order, bt, pad: int,
 def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
                        cfg: SPHConfig, b: int = 128, w_cap: int = 128,
                        grid=None, order=None, w_chunk: int = 0,
-                       h_chunk: int = 0):
+                       h_chunk: int = 0, z_skip: bool = False):
     """Compute (sum_w, dpress, overflow) for the base variant with the
     column-window Pallas kernel.  ``sorted_state`` must be cell-sorted
     with the same ``grid`` (binning.GridSpec; None = full cube — a
@@ -355,7 +389,9 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     ``h_chunk`` > 0 does the same for home LANES in static chunks of
     that size (``b`` is rounded up to a multiple of it; only the
     lane-register-aligned values 64 and 128 are validated — Mosaic may
-    reject other lane-slice widths)."""
+    reject other lane-slice widths).  ``z_skip`` (requires h_chunk)
+    skips pair tiles whose z-cell bands cannot be stencil-adjacent —
+    bitwise identical, see _make_base_body_hc."""
     gx, gy = _grid_extents(cfg, grid)
     n = sorted_state.capacity
     if w_chunk:
@@ -387,7 +423,8 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
     overflow = jnp.sum(jnp.maximum(col_count - b, 0))
 
     kern = functools.partial(_sph_kernel, gx=gx, gy=gy, b=b, w_cap=w_cap,
-                             cfg=cfg, w_chunk=w_chunk, h_chunk=h_chunk)
+                             cfg=cfg, w_chunk=w_chunk, h_chunk=h_chunk,
+                             z_skip=z_skip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gx * gy,),

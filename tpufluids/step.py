@@ -103,11 +103,14 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
             hc = cfg.pallas_h_chunk
             if hc < 0:
                 hc = 128 if cfg.pallas_col_cap > 128 else 0
+            zs = cfg.pallas_z_skip
+            if zs < 0:
+                zs = 1 if hc else 0
             sw, dp, kovf = base_forces_pallas(
                 state, bt, cfg, b=cfg.pallas_col_cap,
                 w_cap=cfg.pallas_col_cap, grid=grid, order=order,
                 w_chunk=cfg.pallas_w_chunk,
-                h_chunk=hc)
+                h_chunk=hc, z_skip=bool(zs and hc))
         z3 = jnp.zeros((n, 3), jnp.float32)
         z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
