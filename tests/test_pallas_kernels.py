@@ -660,6 +660,28 @@ def test_sph_force_kernel_zband_skip_bitcompat_interpret():
     np.testing.assert_array_equal(np.asarray(dp2), np.asarray(dp0))
 
 
+def test_sph_rowblock_zband_skip_bitcompat_interpret():
+    """The rowblock family's z-band candidate-chunk skip matches the
+    plain sweep exactly (same where-masked pair math; the cond only
+    skips chunks whose every pair the |czi-czj|<=1 gate zeroes)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpufluids import binning
+    from tpufluids.config import BASE_CONFIG
+    from tpufluids.scenes import random_blob
+    from tpufluids.sph_pallas import base_forces_rowblock
+    cfg = BASE_CONFIG.replace(max_per_cell=64, grid_size=8,
+                              cell_size=0.25)
+    state = random_blob(600, seed=12, cfg=cfg, span=0.9,
+                        boundary_frac=0.1)
+    ss, bt = binning.sort_by_cell(state, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        sw0, dp0, _ = base_forces_rowblock(ss, bt, cfg, w_chunk=32)
+        sw1, dp1, _ = base_forces_rowblock(ss, bt, cfg, w_chunk=32,
+                                           z_skip=True)
+    np.testing.assert_array_equal(np.asarray(sw1), np.asarray(sw0))
+    np.testing.assert_array_equal(np.asarray(dp1), np.asarray(dp0))
+
+
 def test_sph_step_with_pallas_backend_interpret():
     from jax.experimental.pallas import tpu as pltpu
     from tpufluids.config import BASE_CONFIG

@@ -178,9 +178,11 @@ class SPHConfig:
     # not stencil-adjacent (the cell-sorted packed layout makes both
     # chunk kinds contiguous z bands; the |czi-czj|<=1 pair gate
     # zeroes non-adjacent tiles, so skipping them is bitwise
-    # identical — sph_pallas._make_base_body_hc).  -1 = auto (on
-    # whenever h_chunk is active), 0 = off, 1 = on.  Experimental
-    # until TPU-measured (verify/bench_sph_zskip_ab.py).
+    # identical — sph_pallas._make_base_body_hc; the rowblock family
+    # has the analogous candidate-chunk skip, _rowblock_sweep).  -1 =
+    # auto (column: on whenever h_chunk is active; rowblock: off), 0 =
+    # off, 1 = on for both families.  Experimental until TPU-measured
+    # (verify/bench_sph_zskip_ab.py).
     pallas_z_skip: int = 0
     # Pallas force-kernel family: "rowblock" (home block = 128
     # consecutive sorted rows — full lane utilization, NO capacity cap,

@@ -1025,15 +1025,37 @@ RB = 128     # default home rows per block (= lane width; rb kwarg
 
 
 def _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body_fn, acc0,
-                    cx_min, cx_max, cy_min, cy_max, *, gx, gy, ch):
+                    cx_min, cx_max, cy_min, cy_max, *, gx, gy, ch,
+                    zband=None, cfg=None):
     """Sweep one home block's candidate ranges.  Chunks of ``ch``
     sublane rows stream through two VMEM slots with a static-slot
     software pipeline (wait k, compute k, prefetch k+2); chunks beyond
-    the range compute with count 0 (where-masks zero garbage)."""
+    the range compute with count 0 (where-masks zero garbage).
+
+    ``zband`` = (z_cell_min, z_cell_max) of the home block: when given,
+    chunks whose valid rows' z-cell band cannot be stencil-adjacent to
+    it are cond-skipped — the pair mask's ``|czi - czj| <= 1`` gate
+    (_pair_geom) zeroes every such pair, so the skipped tile would
+    have contributed exact zeros.  The DMA still runs (the prefetch
+    pipeline needs static slots); only the VPU pair math is saved."""
     c_lo_y = jnp.maximum(cy_min - 1, 0)
     c_hi_y = jnp.minimum(cy_max + 1, gy - 1)
     xr_lo = jnp.maximum(cx_min - 1, 0)
     xr_hi = jnp.minimum(cx_max + 1, gx - 1)
+
+    def call_body(acc, slot, cnt):
+        if zband is None:
+            return body_fn(acc, wbuf2[slot], cnt, None)
+        wj = wbuf2[slot]
+        czj = jnp.floor((wj[:, _X + 2:_X + 3] - cfg.zmin)
+                        / jnp.float32(cfg.cell_size))
+        jv = ((jax.lax.broadcasted_iota(jnp.int32, czj.shape, 0) < cnt)
+              & (wj[:, _ALIVE:_ALIVE + 1] > 0.5))
+        wlo = jnp.min(jnp.where(jv, czj, jnp.float32(3e38)))
+        whi = jnp.max(jnp.where(jv, czj, jnp.float32(-3e38)))
+        return jax.lax.cond(
+            (wlo <= zband[1] + 1.0) & (whi >= zband[0] - 1.0),
+            lambda a: body_fn(a, wj, cnt, None), lambda a: a, acc)
 
     def row_body(xr, acc):
         start = col_start[xr * gy + c_lo_y]
@@ -1056,8 +1078,7 @@ def _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body_fn, acc0,
         def chunk2(k, acc):
             i0 = 2 * k
             copy(i0, 0).wait()
-            acc = body_fn(acc, wbuf2[0],
-                          jnp.clip(nrows - i0 * ch, 0, ch), None)
+            acc = call_body(acc, 0, jnp.clip(nrows - i0 * ch, 0, ch))
 
             @pl.when(i0 + 2 < nc)
             def _():
@@ -1067,8 +1088,8 @@ def _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body_fn, acc0,
             def _():
                 copy(i0 + 1, 1).wait()
 
-            acc = body_fn(acc, wbuf2[1],
-                          jnp.clip(nrows - (i0 + 1) * ch, 0, ch), None)
+            acc = call_body(acc, 1,
+                            jnp.clip(nrows - (i0 + 1) * ch, 0, ch))
 
             @pl.when(i0 + 3 < nc)
             def _():
@@ -1102,6 +1123,9 @@ def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg, rb,
     big = jnp.float32(1e9)
     cy_min = jnp.min(jnp.where(i_valid, cyi, big)).astype(jnp.int32)
     cy_max = jnp.max(jnp.where(i_valid, cyi, -big)).astype(jnp.int32)
+    czi = jnp.floor((hmT[_X + 2, :][None, :] - cfg.zmin) / cs)
+    zband = (jnp.min(jnp.where(i_valid, czi, jnp.float32(3e38))),
+             jnp.max(jnp.where(i_valid, czi, jnp.float32(-3e38))))
 
     def plane_body(xr, lohi):
         lo, hi = lohi
@@ -1113,25 +1137,27 @@ def _rowblock_prologue(col_start, packed_hbm, home, sems, blk, cfg, rb,
     cx_min, cx_max = jax.lax.fori_loop(
         0, gx, plane_body,
         (jnp.int32(gx), jnp.int32(-1)))
-    return hmT, i_valid, cx_min, cx_max, cy_min, cy_max
+    return hmT, i_valid, cx_min, cx_max, cy_min, cy_max, zband
 
 
 def _base_rowblock_kernel(col_start, packed_hbm, out_hbm, home, wbuf2,
-                          otile, sems, *, gx, gy, ch, cfg, rb):
+                          otile, sems, *, gx, gy, ch, cfg, rb,
+                          z_skip=False):
     q = pl.program_id(0)
     blk = q * rb
     total = col_start[gx * gy]
 
     @pl.when(blk < total)
     def _():
-        hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
+        hmT, i_valid, cx_min, cx_max, cy_min, cy_max, zband = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
                                cfg, rb, gx, gy)
         body = _make_base_body(hmT, i_valid, cfg, xy_cells=True)
         acc = _rowblock_sweep(col_start, packed_hbm, wbuf2, sems, body,
                               jnp.zeros((4, rb), jnp.float32),
                               cx_min, cx_max, cy_min, cy_max,
-                              gx=gx, gy=gy, ch=ch)
+                              gx=gx, gy=gy, ch=ch,
+                              zband=zband if z_skip else None, cfg=cfg)
         otile[...] = jnp.concatenate(
             [acc.T, jnp.zeros((rb, F - 4), jnp.float32)], axis=1)
         ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, rb)],
@@ -1149,7 +1175,7 @@ def _unidyn_rowblock_kernel_a(col_start, packed_hbm, out_hbm, home,
 
     @pl.when(blk < total)
     def _():
-        hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
+        hmT, i_valid, cx_min, cx_max, cy_min, cy_max, _zb = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
                                cfg, rb, gx, gy)
         body = _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
@@ -1176,7 +1202,7 @@ def _unidyn_rowblock_kernel_b(col_start, packed_hbm, out_hbm, home,
 
     @pl.when(blk < total)
     def _():
-        hmT, i_valid, cx_min, cx_max, cy_min, cy_max = \
+        hmT, i_valid, cx_min, cx_max, cy_min, cy_max, _zb = \
             _rowblock_prologue(col_start, packed_hbm, home, sems, blk,
                                cfg, rb, gx, gy)
         body = _make_unidyn_b_body(hmT, i_valid, cfg, subbin_threshold,
@@ -1234,13 +1260,16 @@ def _rows_to_particle(out, bt, n, order):
 
 def base_forces_rowblock(state: ParticleState, bt: BinTable,
                          cfg: SPHConfig, order=None, w_chunk: int = 32,
-                         rb: int = RB, grid=None):
+                         rb: int = RB, grid=None,
+                         z_skip: bool = False):
     """Base-variant forces with the row-block kernel.  ``grid``: the
     binning.GridSpec the state was sorted with (None = full cube; a
     sharded x-slab passes its local GridSpec — the home-block plane
     range is derived from col_start in local plane ids, so a traced
-    x_offset is fine).  Returns (sum_w, dpress, overflow==0) like
-    base_forces_pallas."""
+    x_offset is fine).  ``z_skip`` cond-skips candidate chunks whose
+    z-cell band is not stencil-adjacent to the home block's (see
+    _rowblock_sweep; the pair mask zeroes those chunks anyway).
+    Returns (sum_w, dpress, overflow==0) like base_forces_pallas."""
     gx, gy = _grid_extents(cfg, grid)
     n = state.capacity
     ch = w_chunk or 32
@@ -1252,7 +1281,7 @@ def base_forces_rowblock(state: ParticleState, bt: BinTable,
             state, jnp.arange(n, dtype=jnp.int32), bt, pad)
     col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
     out = _run_rowblock_kernel(_base_rowblock_kernel, col_start, packed,
-                               n, gx, gy, ch, cfg, rb=rb)
+                               n, gx, gy, ch, cfg, rb=rb, z_skip=z_skip)
     res = _rows_to_particle(out, bt, n, order)
     return res[:, 0], res[:, 1:4], jnp.zeros((), jnp.int32)
 

@@ -93,9 +93,11 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
                                           base_forces_rowblock)
         n = state.capacity
         if rowblock:
+            zs = cfg.pallas_z_skip
             sw, dp, kovf = base_forces_rowblock(
                 state, bt, cfg, order=order,
-                w_chunk=cfg.pallas_w_chunk, grid=grid)
+                w_chunk=cfg.pallas_w_chunk, grid=grid,
+                z_skip=zs == 1)
         else:
             # h_chunk auto (-1): 128 when the column cap exceeds one
             # lane tile (measured v5e 524k/cap-584: 111.3 vs 127.4

@@ -45,18 +45,23 @@ for n in sizes:
     cap = suggest_col_cap(s0, BASE_CONFIG)
     print(f"--- n={n}, col_cap={cap}", flush=True)
     steps = {}
-    for zs in (0, 1):
-        cfg = BASE_CONFIG.replace(pallas_kernel="column",
-                                  pallas_col_cap=cap,
-                                  pallas_h_chunk=128, pallas_z_skip=zs)
-        steps[zs] = jax.jit(lambda s, cfg=cfg: sph_step(s, cfg))
-        steps[zs](s0)  # compile
+    for fam in ("column", "rowblock"):
+        for zs in (0, 1):
+            cfg = BASE_CONFIG.replace(pallas_kernel=fam,
+                                      pallas_col_cap=cap,
+                                      pallas_h_chunk=128,
+                                      pallas_z_skip=zs)
+            steps[(fam, zs)] = jax.jit(lambda s, cfg=cfg: sph_step(s, cfg))
+            steps[(fam, zs)](s0)  # compile
     outs = {}
     for rep in range(2):  # interleave
-        for zs, f in steps.items():
-            timeit(f"n={n} full step (column hc=128, z_skip={zs})",
+        for (fam, zs), f in steps.items():
+            timeit(f"n={n} full step ({fam}, z_skip={zs})",
                    lambda f=f: f(s0))
-            outs[zs] = f(s0)
-    same = bool((outs[1][0].pos == outs[0][0].pos).all())
-    ovf = int(jnp.max(outs[1][1].bin_overflow))
-    print(f"z_skip bitwise pos match: {same}; overflow {ovf}", flush=True)
+            outs[(fam, zs)] = f(s0)
+    for fam in ("column", "rowblock"):
+        same = bool((outs[(fam, 1)][0].pos == outs[(fam, 0)][0].pos)
+                    .all())
+        ovf = int(jnp.max(outs[(fam, 1)][1].bin_overflow))
+        print(f"{fam} z_skip pos match: {same}; overflow {ovf}",
+              flush=True)
