@@ -114,3 +114,18 @@ def test_dct_precision_tiers_solve_and_order():
     # orders below the sweep residual (measured) — here just require
     # every tier to be a valid solve
     assert res["default"] < res_rb or res["default"] < 1e-4
+
+
+def test_dct_zg_direct_matches_dense_roundtrip():
+    """dct_solve3d_zg on the z-ghostless layout is bit-identical to
+    restoring to dense, solving, and re-stripping."""
+    from tpufluids.grid.pallas_kernels import zg_extents, zg_pad, zg_restore
+    n = 20
+    x0 = _rand_rhs(n, seed=7)
+    y_true = z_true = n + 2
+    yp, zp = zg_extents(y_true, z_true)
+    zg = zg_pad(x0, yp, zp)
+    ref = zg_pad(stam.dct_solve3d(zg_restore(zg, 0, y_true, z_true)),
+                 yp, zp)
+    got = stam.dct_solve3d_zg(zg, None, (y_true, z_true))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -567,6 +567,29 @@ def dct_solve3d(x0, cfg=None):
     return set_bnd3d(0, p)
 
 
+def dct_solve3d_zg(x0, cfg, te):
+    """dct_solve3d operating directly on the z-ghostless layout
+    (pallas_kernels.zg_pad): the interior is a plain slice of the zg
+    array (x ghosts stored, y ghosts stored, z stores interior only),
+    so the dense restore/re-strip round trip the generic path pays
+    per projection is skipped.  The b=0 ghost writes replay
+    set_bnd3d's face order on the stored faces (z faces are not
+    stored; every consumer synthesizes them as +1 * adjacent, exactly
+    the dense z-face value).  Bit-identical to
+    zg_pad(dct_solve3d(zg_restore(x0))) — tested."""
+    y_true, z_true = te
+    zi = z_true - 2
+    sol = _dct_solve_interior(
+        x0[1:-1, 1:y_true - 1, :zi],
+        "highest" if cfg is None else cfg.dct_precision)
+    p = jnp.zeros_like(x0).at[1:-1, 1:y_true - 1, :zi].set(sol)
+    p = p.at[0].set(p[1])
+    p = p.at[-1].set(p[-2])
+    p = p.at[:, 0].set(p[:, 1])
+    p = p.at[:, y_true - 1].set(p[:, y_true - 2])
+    return p
+
+
 def dct_solve2d(x0, cfg=None):
     """2D spectral projection solve (lin_solve2d b=0, c=4 system)."""
     sol = _dct_solve_interior(
@@ -613,7 +636,8 @@ def project3d(u, v, w, cfg, with_residual: bool = False,
         if cfg.projection == "multigrid":
             p = repad(mg_solve3d(unpad(div), cfg))
         elif cfg.projection == "dct":
-            p = repad(dct_solve3d(unpad(div), cfg))
+            p = (dct_solve3d_zg(div, cfg, te) if te is not None
+                 else dct_solve3d(div, cfg))
         elif rb_fast:
             p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
                              cfg.jacobi_iters, cfg,
