@@ -179,5 +179,8 @@ def test_run3d_python_zg_resident_matches_per_step():
         np.testing.assert_array_equal(np.asarray(getattr(got, f)),
                                       np.asarray(getattr(ref, f)),
                                       err_msg=f)
-    np.testing.assert_array_equal(np.asarray(gres[-1]),
-                                  np.asarray(rres))
+    # the residual is evaluated in a jitted context on the zg path and
+    # eagerly here, so XLA may contract its arithmetic differently —
+    # the layout claim above stays bitwise, the scalar gets 1-2 ulp
+    np.testing.assert_allclose(np.asarray(gres[-1]), np.asarray(rres),
+                               rtol=1e-6)

@@ -180,10 +180,13 @@ class SPHConfig:
     # zeroes non-adjacent tiles, so skipping them is bitwise
     # identical — sph_pallas._make_base_body_hc; the rowblock family
     # has the analogous candidate-chunk skip, _rowblock_sweep).  -1 =
-    # auto (column: on whenever h_chunk is active; rowblock: off), 0 =
-    # off, 1 = on for both families.  Experimental until TPU-measured
-    # (verify/bench_sph_zskip_ab.py).
-    pallas_z_skip: int = 0
+    # auto (column: on when the home block spans >= 4 h_chunk chunks;
+    # rowblock: off), 0 = off, 1 = on for both families.  Measured v5e
+    # (verify/bench_sph_zskip_ab.py): 524k uniform fill / cap 584 =
+    # 5 chunks: column 110.9 -> 104.2 ms/step ON; 131k / cap 176 =
+    # 2 chunks: 24.6 -> 30.0 OFF (cond dispatch overhead dominates);
+    # rowblock 156 -> 197 at 524k, so auto never enables it there.
+    pallas_z_skip: int = -1
     # Pallas force-kernel family: "rowblock" (home block = 128
     # consecutive sorted rows — full lane utilization, NO capacity cap,
     # overflow impossible), "column" (one (x,y) grid column per

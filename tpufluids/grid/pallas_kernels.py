@@ -1463,23 +1463,34 @@ def _advect_stage(vu, vv, vw, vf, vo, wlo, gx0, *, p, n_full, gn, y_hi,
         wz_p1 = jnp.where(ehi, 0.0, wz_p1)
         wz0 = {s: wz_0 + s * edge_w for s in set(szs)}
 
+        # the (wy, wz) tap products are independent of dx, so they are
+        # built ONCE per output plane (12 vector products) instead of
+        # per (dx, dy) pair (45): the body is VPU-op-bound
+        # (verify/bench_opcost.py), and the per-dx partial sums get
+        # their wx factor in a single fma at accumulation time.  Tap
+        # values are identical to the nested-product form; only the
+        # multiply association differs (fp32-rounding-level, within the
+        # advect tests' tolerance).
+        wyz_m1 = [wys[dy] * wz_m1 for dy in range(3)]
+        wyz_p1 = [wys[dy] * wz_p1 for dy in range(3)]
+        wyz_0 = {s: [wys[dy] * w0 for dy in range(3)]
+                 for s, w0 in wz0.items()}
         outs = [jnp.zeros(pshape, jnp.float32) for _ in range(k)]
         ctr = [None] * k
         for dx in (-1, 0, 1):
             fx = [plane(vf[q], j + dx) for q in range(k)]
             if dx == 0:
                 ctr = fx
+            sums = [jnp.zeros(pshape, jnp.float32) for _ in range(k)]
             for dy in (-1, 0, 1):
-                wxy = wxs[dx + 1] * wys[dy + 1]
                 fxy = [_shift(f, dy, 1) for f in fx]
-                wgt_m1 = wxy * wz_m1
-                wgt_p1 = wxy * wz_p1
-                wgt_0 = {s: wxy * w0 for s, w0 in wz0.items()}
                 for q in range(k):
-                    outs[q] = (outs[q]
-                               + wgt_m1 * _shift(fxy[q], -1, 2)
-                               + wgt_0[szs[q]] * fxy[q]
-                               + wgt_p1 * _shift(fxy[q], 1, 2))
+                    sums[q] = (sums[q]
+                               + wyz_m1[dy + 1] * _shift(fxy[q], -1, 2)
+                               + wyz_0[szs[q]][dy + 1] * fxy[q]
+                               + wyz_p1[dy + 1] * _shift(fxy[q], 1, 2))
+            for q in range(k):
+                outs[q] = outs[q] + wxs[dx + 1] * sums[q]
 
         ok = yz_int & (gi >= 1) & (gi <= gn - 2)
         for q in range(k):

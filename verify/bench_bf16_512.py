@@ -22,7 +22,10 @@ from tpufluids.grid import stam
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 steps = 10
-runs = {}
+# one dtype resident at a time: two 512^3 5-field states plus step
+# intermediates exhausted the (shared) chip's HBM when interleaved —
+# sequential phases trade the +-10-15% tunnel variance for fitting,
+# acceptable for the ~2x effect under test
 for dt_ in ("float32", "bfloat16"):
     cfg = stam.StamConfig(n=n, dt=0.5 / n, jacobi_iters=20,
                           red_black=True, vorticity_eps=2.0,
@@ -35,14 +38,12 @@ for dt_ in ("float32", "bfloat16"):
         temp=state.temp.at[3 * k:5 * k, 3 * k:5 * k, 1:k].set(3.0))
     state, res = stam.run3d_python(state, cfg, 3)
     float(jnp.sum(state.u))
-    runs[dt_] = (cfg, state)
-for rep in range(3):
-    for dt_, (cfg, state) in runs.items():
+    for rep in range(3):
         t0 = time.perf_counter()
         state, res = stam.run3d_python(state, cfg, steps)
         float(jnp.sum(state.u))
         ms = (time.perf_counter() - t0) / steps * 1e3
         print(f"n={n} solver_dtype={dt_:9s} {ms:8.2f} ms/step  "
               f"residual {float(res[-1]):.3e}", flush=True)
-        runs[dt_] = (cfg, state)
+    del state, res
 print("DONE", flush=True)

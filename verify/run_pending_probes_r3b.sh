@@ -16,8 +16,10 @@ run() {
 }
 
 cd /root/repo
+run stages512b python verify/bench_stages512b.py
 run sph_zskip python verify/bench_sph_zskip_ab.py
 run stages256 python verify/bench_stages256.py
 run stages512c python verify/bench_stages512c.py
 run rb256_deep python verify/bench_rb256_deep.py
+run bf16_512 python verify/bench_bf16_512.py
 echo "=== $(date -u) R3B BATTERY COMPLETE ==="
