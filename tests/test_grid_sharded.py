@@ -156,6 +156,48 @@ def test_sharded_dct_projection_matches_dense(n_dev):
     assert float(res) < 1e-4
 
 
+@pytest.mark.parametrize("n_dev", [1, 2])
+def test_sharded_pallas_dct_step_matches_dense(n_dev):
+    """The Pallas per-shard pipeline with the SPECTRAL projection
+    (_dct_solve_local_zg: zg-layout partial matmul + psum_scatter)
+    matches the dense DCT step — round-4 regression guard: without
+    the zg dct path a projection='dct' sharded step silently fell
+    back to the XLA slab step whose 256^3 compile killed the TPU
+    worker in the config-5 bench secondary."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 32
+    cfg = stam.StamConfig(n=n, dt=0.02, projection="dct", red_black=True,
+                          advect_mode="stencil", vorticity_eps=2.0,
+                          buoyancy_alpha=0.05, buoyancy_beta=1.0,
+                          solver_backend="xla")
+    dense = seeded3d(cfg, seed=11)
+    dense = dense.replace(
+        u=stam.set_bnd3d(1, dense.u), v=stam.set_bnd3d(2, dense.v),
+        w=stam.set_bnd3d(3, dense.w), dens=stam.set_bnd3d(0, dense.dens),
+        temp=stam.set_bnd3d(0, dense.temp))
+
+    ref = dense
+    for _ in range(2):
+        ref = stam.step3d(ref, cfg)
+
+    mesh = make_mesh(n_dev)
+    step = grid_sharded.make_sharded_step(mesh, cfg, n_steps=2,
+                                          backend="pallas")
+    sh = grid_sharded.shard_state(grid_sharded.to_sharded_layout(dense),
+                                  mesh)
+    with pltpu.force_tpu_interpret_mode():
+        out, res = step(sh)
+    out_full = grid_sharded.from_sharded_layout(jax.device_get(out), cfg)
+
+    for f in ("u", "v", "w", "dens", "temp"):
+        a = np.asarray(getattr(out_full, f))
+        b = np.asarray(getattr(ref, f))
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5, err_msg=f)
+    # exact solve: residual at float32-roundoff scale
+    assert float(res) < 1e-4
+
+
 @pytest.mark.parametrize("n_dev", [1, 2, 4])
 def test_sharded_pallas_step_matches_dense(n_dev):
     """The Pallas per-shard pipeline (deep-halo packed solver +

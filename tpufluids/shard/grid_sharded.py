@@ -223,6 +223,56 @@ def _dct_solve_local(x0, n, n_dev):
     return _set_bnd_yz(0, p)
 
 
+def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
+    """Sharded spectral projection solve directly on the z-ghostless
+    slab layout (stam.dct_solve3d_zg over x-slabs): y/z cosine
+    transforms are local matmuls, the x transform contracts the
+    sharded axis as a per-device partial matmul + ``psum_scatter``
+    (one reduce-scatter over ICI each way).  Keeps the Pallas
+    per-shard pipeline fully resident in the zg layout — without this
+    a ``projection='dct'`` sharded step fell back to the pure-XLA slab
+    step, whose 256^3 compile is pathological (round-4 incident: the
+    config-5 bench secondary killed the TPU worker)."""
+    from tpufluids.grid.stam import _DCT_PREC, _dct_axis, _dct_mats
+
+    prec = _DCT_PREC["highest" if cfg is None else cfg.dct_precision]
+    y_true, z_true = te
+    zi = z_true - 2
+    c = dslab.shape[0]
+    off = jax.lax.axis_index(AXIS) * c if n_dev > 1 else 0
+    xi = dslab[:, 1:y_true - 1, :zi]
+    C, Ci, lam1 = _dct_mats(n)
+
+    def xmul(a, m):
+        cols = jax.lax.dynamic_slice_in_dim(m, off, c, axis=1)
+        part = jnp.tensordot(cols, a, axes=((1,), (0,)), precision=prec)
+        if n_dev == 1:
+            return part
+        return jax.lax.psum_scatter(part, AXIS, scatter_dimension=0,
+                                    tiled=True)
+
+    F = xmul(xi, C)
+    F = _dct_axis(F, C, 1, prec)
+    F = _dct_axis(F, C, 2, prec)
+    lam = (jax.lax.dynamic_slice_in_dim(lam1, off, c)[:, None, None]
+           + lam1[None, :, None] + lam1[None, None, :])
+    coef = F / jnp.where(lam == 0.0, 1.0, lam)
+    # zero the global (0,0,0) gauge mode (lives on device 0's slab)
+    gauge = ((jnp.arange(c)[:, None, None] + off == 0)
+             & (jnp.arange(n)[None, :, None] == 0)
+             & (jnp.arange(n)[None, None, :] == 0))
+    coef = jnp.where(gauge, 0.0, coef)
+    sol = xmul(coef, Ci)
+    sol = _dct_axis(sol, Ci, 1, prec)
+    sol = _dct_axis(sol, Ci, 2, prec)
+    p = jnp.zeros_like(dslab).at[:, 1:y_true - 1, :zi].set(sol)
+    # stored ghost faces (y only; z faces are synthesized by zg
+    # consumers as +1 * adjacent, the b=0 dense value)
+    p = p.at[:, 0].set(p[:, 1])
+    p = p.at[:, y_true - 1].set(p[:, y_true - 2])
+    return p
+
+
 def _divergence_local(u, v, w, n, n_dev):
     h = 1.0 / n
     up = _halo(1, u, n_dev)
@@ -439,7 +489,10 @@ def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
         u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
         div = div3d_pallas(u, v, w, true_extents=te, h=h)
         dslab = div[2:-2]
-        p_ = solve(0, dslab, dslab, 1.0, 6.0, x_zero=True)
+        if cfg.projection == "dct":
+            p_ = _dct_solve_local_zg(dslab, n, n_dev, cfg, te)
+        else:
+            p_ = solve(0, dslab, dslab, 1.0, 6.0, x_zero=True)
         pp = refresh(repad(p_), 0)
         uo, vo, wo = gradsub3d_pallas(pp, u, v, w, true_extents=te,
                                       h=h)
@@ -476,7 +529,10 @@ def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
 
 
 def _pallas_sharded_supported(cfg: StamConfig) -> bool:
-    return (cfg.projection == "jacobi" and cfg.red_black
+    # dct projection runs _dct_solve_local_zg inside the pallas
+    # pipeline; red_black is still required because any visc/diff
+    # solves go through the packed red-black shard solver
+    return (cfg.projection in ("jacobi", "dct") and cfg.red_black
             and cfg.advect_mode == "stencil"
             and cfg.solver_dtype != "bfloat16"
             and cfg.n + 2 >= 16)
@@ -509,9 +565,10 @@ def make_sharded_step(mesh: Mesh, cfg: StamConfig, n_steps: int = 1,
     if backend == "pallas" and not (_pallas_sharded_supported(cfg)
                                     and slab_ok):
         raise ValueError(
-            "backend='pallas' needs projection='jacobi', red_black, "
-            "advect_mode='stencil', float32 solver, n+2 >= 16, and an "
-            f"even per-device slab (n/n_dev = {c_local})")
+            "backend='pallas' needs projection in ('jacobi', 'dct'), "
+            "red_black, advect_mode='stencil', float32 solver, "
+            f"n+2 >= 16, and an even per-device slab (n/n_dev = "
+            f"{c_local})")
     use_pallas = (backend == "pallas"
                   or (backend == "auto" and slab_ok
                       and _pallas_sharded_supported(cfg)
