@@ -32,6 +32,27 @@ def test_base_dam_cli(tmp_path):
     assert lines[0]["n_alive"] == 500
 
 
+def test_base_dam_boundary_lattice():
+    """The base driver's inert boundary-seeding block (solver.cu:122-128,
+    nbpts=000 in the shipped config): nb particles on a 30-wide lattice
+    at z=-0.24, spacing 0.06, boundary-flagged and immobile."""
+    import numpy as np
+    from tpufluids.scenes import base_dam
+
+    s = base_dam(n=100, nb=60)
+    assert int(np.sum(np.asarray(s.alive))) == 160
+    b = np.asarray(s.boundary)
+    assert b.sum() == 60
+    bp = np.asarray(s.pos)[b]
+    np.testing.assert_allclose(bp[:, 2], -0.24)
+    np.testing.assert_allclose(bp[0], [-0.96, -0.96, -0.24])
+    np.testing.assert_allclose(bp[31], [-0.96 + 0.06, -0.96 + 0.06,
+                                        -0.24], rtol=1e-6)
+    rec = run_cli("base_dam", "--steps", "4", "--particles", "200",
+                  "--boundary-particles", "50")
+    assert rec["particles"] == 250
+
+
 def test_unidyn_checkpoint_resume_cli(tmp_path):
     ck = str(tmp_path / "ck.npz")
     rec1 = run_cli("base_dam", "--steps", "6", "--particles", "300",

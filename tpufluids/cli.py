@@ -43,6 +43,11 @@ def build_parser():
         p = sub.add_parser(name)
         _add_common(p)
         p.add_argument("--particles", type=int, default=None)
+        if name == "base_dam":
+            p.add_argument("--boundary-particles", type=int, default=0,
+                           help="boundary lattice plane at z=-0.24 "
+                                "(solver.cu:122-128; the driver ships "
+                                "nbpts=000)")
         p.add_argument("--subbin-parity",
                        action=argparse.BooleanOptionalAction, default=None,
                        help="reference two-level-binning stencil semantics "
@@ -90,7 +95,8 @@ def run_sph(args):
 
     if args.scene == "base_dam":
         cfg = BASE_CONFIG
-        state = base_dam(cfg, n=args.particles or 8000)
+        state = base_dam(cfg, n=args.particles or 8000,
+                         nb=args.boundary_particles)
         varnames = ("dens", "cellnumber")   # solver.cu:108
         from tpufluids.step import resolve_kernel_family
         if (args.particles and args.particles != 8000

@@ -8,10 +8,15 @@ from tpufluids.config import BASE_CONFIG, UNIDYN_CONFIG, SPHConfig
 from tpufluids.state import ParticleState, make_state
 
 
-def base_dam(cfg: SPHConfig = BASE_CONFIG, n: int = 8000,
+def base_dam(cfg: SPHConfig = BASE_CONFIG, n: int = 8000, nb: int = 0,
              capacity=None) -> ParticleState:
     """The base variant's scene: a fluid column seeded on a 15x15 lattice,
-    zero boundary particles, 4000 steps (solver.cu:17-19, 115-121)."""
+    zero boundary particles, 4000 steps (solver.cu:17-19, 115-121).
+
+    ``nb``: optional boundary particles on a 30-wide lattice plane at
+    z = -0.24, spacing 0.06 (solver.cu:122-128) — the base driver's
+    second seeding block, inert in the shipped scene (``nbpts = 000``,
+    solver.cu:18), exposed here for completeness."""
     j = np.arange(n)
     pos = np.stack(
         [
@@ -21,6 +26,15 @@ def base_dam(cfg: SPHConfig = BASE_CONFIG, n: int = 8000,
         ],
         axis=1,
     ).astype(np.float32)
+    if nb:
+        i = np.arange(nb)
+        bpos = np.stack(
+            [-0.96 + 0.06 * (i % 30), -0.96 + 0.06 * (i // 30),
+             np.full_like(i, -0.24, dtype=float)], axis=1
+        ).astype(np.float32)
+        boundary = np.concatenate([np.zeros(n, bool), np.ones(nb, bool)])
+        return make_state(np.concatenate([pos, bpos], axis=0),
+                          boundary=boundary, cfg=cfg, capacity=capacity)
     return make_state(pos, cfg=cfg, capacity=capacity)
 
 
