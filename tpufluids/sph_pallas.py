@@ -652,6 +652,20 @@ def _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
               & (mff > cfg.mix_frac_min) & (mff < cfg.mix_frac_max))
     s_safe = jnp.where(si == 0, 1.0, si)
     f_safe = jnp.where(fi == 0, 1.0, fi)
+    # Block-level activity flags (once per home block): the mixture /
+    # granular / drift row groups are EXACTLY zero when their home-side
+    # gates are all false — mixfactor needs a non-boundary home row
+    # with solid > 0, the stress rows need nonzero home sigma, the
+    # drift rows need a home row passing the mixture-fraction gate.
+    # lax.cond skips their per-pair math then (the reference's own
+    # tank scene never mixes: fluid seeds solid=0 and boundary pairs
+    # are excluded by both_fluid, so every block skips all three
+    # groups there — measured 7.2 -> ~4 ms/step, bench_unidyn_parts).
+    has_mix = jnp.any(i_valid & (~bi) & (si > 0.0))
+    has_sig = jnp.any(
+        i_valid & (sum(jnp.abs(irow(_SIG + k)) for k in range(9)) > 0.0))
+    has_gate = jnp.any(i_valid & gate_i)
+    nl = hmT.shape[1]
 
     def window_body(acc, wj, w_count, r):
         def jcol(c):
@@ -698,61 +712,70 @@ def _make_unidyn_a_body(hmT, i_valid, cfg, subbin_threshold,
         # diffusion / color gradient (FluidGPU-unidyn.cu:364-366)
         dfac = jnp.where(both_fluid, mj / dj, 0.0) * dkf
         rows += [msum(dfac * rabx), msum(dfac * raby), msum(dfac * rabz)]
-
-        # mixfactor-gated velocity gradient (FluidGPU-unidyn.cu:368-377)
-        mixfactor = jnp.where(
-            both_fluid & (si > 0) & (sj > 0),
-            2.0 * si * sj / (si + sj + cfg.mixfactor_reg), 0.0)
         rab = (rabx, raby, rabz)
         vab = (vabx, vaby, vabz)
-        for a in range(3):
-            for bb in range(3):
-                rows.append(msum(-mixfactor * vab[bb] * dkf * rab[a]))
 
-        # stress acceleration (FluidGPU-unidyn.cu:379-381); sigma_i is
-        # per-home-particle, so the row contraction is over lanes
-        for a in range(3):
-            term = dkf * (irow(_SIG + 3 * a) * rabx
-                          + irow(_SIG + 3 * a + 1) * raby
-                          + irow(_SIG + 3 * a + 2) * rabz)
-            rows.append(msum((1.0 + mixfactor) * term))
+        def vg_sa_rows(_):
+            # mixfactor-gated velocity gradient
+            # (FluidGPU-unidyn.cu:368-377)
+            mixfactor = jnp.where(
+                both_fluid & (si > 0) & (sj > 0),
+                2.0 * si * sj / (si + sj + cfg.mixfactor_reg), 0.0)
+            out = [msum(-mixfactor * vab[bb] * dkf * rab[a])
+                   for a in range(3) for bb in range(3)]
+            # stress acceleration (FluidGPU-unidyn.cu:379-381); sigma_i
+            # is per-home-particle, so the contraction is over lanes
+            for a in range(3):
+                term = dkf * (irow(_SIG + 3 * a) * rabx
+                              + irow(_SIG + 3 * a + 1) * raby
+                              + irow(_SIG + 3 * a + 2) * rabz)
+                out.append(msum((1.0 + mixfactor) * term))
+            return jnp.stack(out, axis=0)
 
-        # drift velocities (pass A; FluidGPU-unidyn.cu:314-356)
-        g3 = mask & both_fluid & gate_i
-        sg = [(sj - si) * dkf * r for r in rab]
-        fg = [(fj - fi) * dkf * r for r in rab]
-        A_ = [(si * pi - sj * pj) * dkf * r for r in rab]
-        B_ = [(fi * pi - fj * pj) * dkf * r for r in rab]
-        v_dk = dkf * (irow(_V) * rabx + irow(_V + 1) * raby
-                      + irow(_V + 2) * rabz)
-        s_pref = di * (si - msf * si - mff * fi)
-        f_pref = di * (fi - msf * si - mff * fi)
-        grav = (0.0, 0.0, cfg.gravity)
-        sdv_rows, fdv_rows = [], []
-        for a in range(3):
-            body = ((150.0 / di) * irow(_DP + a) + grav[a]
-                    - v_dk * vab[a])
-            sbrown = sg[a] / s_safe * (1 - msf) - mff * fg[a] / f_safe
-            fbrown = fg[a] / f_safe * (1 - mff) - msf * sg[a] / s_safe
-            sslip = A_[a] * (1 - msf) - mff * B_[a]
-            fslip = B_[a] * (1 - mff) - msf * A_[a]
-            sdv_rows.append(jnp.sum(jnp.where(
-                g3, cfg.mixpressure * (s_pref * body + sslip)
-                - cfg.mixbrownian * sbrown, 0.0), axis=0))
-            fdv_rows.append(jnp.sum(jnp.where(
-                g3, cfg.mixpressure * (f_pref * body + fslip)
-                - cfg.mixbrownian * fbrown, 0.0), axis=0))
-        rows += sdv_rows + fdv_rows
-        rows.append(msum(jnp.ones_like(ds)))   # pair count
+        def drift_rows(_):
+            # drift velocities (pass A; FluidGPU-unidyn.cu:314-356)
+            g3 = mask & both_fluid & gate_i
+            sg = [(sj - si) * dkf * r for r in rab]
+            fg = [(fj - fi) * dkf * r for r in rab]
+            A_ = [(si * pi - sj * pj) * dkf * r for r in rab]
+            B_ = [(fi * pi - fj * pj) * dkf * r for r in rab]
+            v_dk = dkf * (irow(_V) * rabx + irow(_V + 1) * raby
+                          + irow(_V + 2) * rabz)
+            s_pref = di * (si - msf * si - mff * fi)
+            f_pref = di * (fi - msf * si - mff * fi)
+            grav = (0.0, 0.0, cfg.gravity)
+            sdv_rows, fdv_rows = [], []
+            for a in range(3):
+                body = ((150.0 / di) * irow(_DP + a) + grav[a]
+                        - v_dk * vab[a])
+                sbrown = sg[a] / s_safe * (1 - msf) - mff * fg[a] / f_safe
+                fbrown = fg[a] / f_safe * (1 - mff) - msf * sg[a] / s_safe
+                sslip = A_[a] * (1 - msf) - mff * B_[a]
+                fslip = B_[a] * (1 - mff) - msf * A_[a]
+                sdv_rows.append(jnp.sum(jnp.where(
+                    g3, cfg.mixpressure * (s_pref * body + sslip)
+                    - cfg.mixbrownian * sbrown, 0.0), axis=0))
+                fdv_rows.append(jnp.sum(jnp.where(
+                    g3, cfg.mixpressure * (f_pref * body + fslip)
+                    - cfg.mixbrownian * fbrown, 0.0), axis=0))
+            return jnp.stack(sdv_rows + fdv_rows, axis=0)
+
+        vgsa = jax.lax.cond(has_mix | has_sig, vg_sa_rows,
+                            lambda _: jnp.zeros((12, nl), jnp.float32), 0)
+        drift = jax.lax.cond(has_gate, drift_rows,
+                             lambda _: jnp.zeros((6, nl), jnp.float32), 0)
+        delta = jnp.concatenate(
+            [jnp.stack(rows, axis=0), vgsa, drift,
+             msum(jnp.ones_like(ds))[None]], axis=0)
         if cfg.merge_dist <= 0:
-            return acc + jnp.stack(rows, axis=0)
+            return acc + delta
 
         # in-kernel merge partner search (FluidGPU-unidyn.cu:261-275):
         # nearest eligible neighbor within merge_dist, min-combined
         # across windows/chunks with its row id selected alongside.
         # Ties: equal distances keep the earlier window / lower row id
         # (the same stencil-run order as the XLA candidate argmin).
-        summed = acc[:_A_ROWS] + jnp.stack(rows, axis=0)
+        summed = acc[:_A_ROWS] + delta
         elig_pair = (mask & (ds <= cfg.merge_dist)
                      & (irow(_ELIG) > 0.5) & (jcol(_ELIG) > 0.5))
         big = jnp.float32(_MERGE_BIG)
@@ -811,6 +834,14 @@ def _make_unidyn_b_body(hmT, i_valid, cfg, subbin_threshold,
     si, fi = irow(_SOLID), irow(_FLUID)
     sdvi = [irow(_SDV + a) for a in range(3)]
     fdvi = [irow(_FDV + a) for a in range(3)]
+    # block-level flag: every pass-B drift term carries an sdv/fdv
+    # factor, so when the home block AND the current window chunk hold
+    # only zero drift (pure-phase flows — incl. the reference's own
+    # tank scene), only the boundary-gated divergence part of the
+    # phase-transport rows survives; lax.cond skips the rest exactly
+    home_drift = jnp.any(
+        i_valid & (sum(jnp.abs(irow(_SDV + k)) for k in range(6)) > 0.0))
+    nl = hmT.shape[1]
 
     def window_body(acc, wj, w_count, r):
         def jcol(c):
@@ -835,35 +866,52 @@ def _make_unidyn_b_body(hmT, i_valid, cfg, subbin_threshold,
         both_fluid = (~bi) & (~bj)
         dj = jcol(_DENS)
         sj, fj = jcol(_SOLID), jcol(_FLUID)
-        sdvj = [jcol(_SDV + a) for a in range(3)]
-        fdvj = [jcol(_FDV + a) for a in range(3)]
-
-        ds_i = dkf * sum(sdvi[a] * rab[a] for a in range(3))
-        ds_j = dkf * sum(sdvj[a] * rab[a] for a in range(3))
-        df_i = dkf * sum(fdvi[a] * rab[a] for a in range(3))
-        df_j = dkf * sum(fdvj[a] * rab[a] for a in range(3))
-
-        rows = []
-        # mixture acceleration (FluidGPU-unidyn.cu:391-398)
-        for a in range(3):
-            term = (sj * dj * (sj * sdvj[a] * ds_j + si * sdvi[a] * ds_i)
-                    + fj * dj * (fj * fdvj[a] * df_j
-                                 + fi * fdvi[a] * df_i))
-            rows.append(msum(-term / (di * dj)))
-        # phase transport (FluidGPU-unidyn.cu:400-401): divergence part
-        # boundary-gated, drift part ungated (reference precedence)
         dk_vab = dkf * sum(rab[a] * vab[a] for a in range(3))
-        drift_s = dkf * sum((si * sdvi[a] + sj * sdvj[a]) * rab[a]
-                            for a in range(3))
-        drift_f = dkf * sum((fi * fdvi[a] + fj * fdvj[a]) * rab[a]
-                            for a in range(3))
-        rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
-                         * (-0.5 / dj) * (si + sj) * dk_vab
-                         + (-drift_s) / dj))
-        rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
-                         * (-0.5 / dj) * (fi + fj) * dk_vab
-                         + (-drift_f) / dj))
-        return acc + jnp.stack(rows, axis=0)
+        # conservative chunk check: rows past w_count may force the
+        # full path (stale slot contents) but never the reverse
+        chunk_drift = jnp.any(jnp.abs(wj[:, _SDV:_SDV + 6]) > 0.0)
+
+        def full_rows(_):
+            sdvj = [jcol(_SDV + a) for a in range(3)]
+            fdvj = [jcol(_FDV + a) for a in range(3)]
+            ds_i = dkf * sum(sdvi[a] * rab[a] for a in range(3))
+            ds_j = dkf * sum(sdvj[a] * rab[a] for a in range(3))
+            df_i = dkf * sum(fdvi[a] * rab[a] for a in range(3))
+            df_j = dkf * sum(fdvj[a] * rab[a] for a in range(3))
+            rows = []
+            # mixture acceleration (FluidGPU-unidyn.cu:391-398)
+            for a in range(3):
+                term = (sj * dj * (sj * sdvj[a] * ds_j
+                                   + si * sdvi[a] * ds_i)
+                        + fj * dj * (fj * fdvj[a] * df_j
+                                     + fi * fdvi[a] * df_i))
+                rows.append(msum(-term / (di * dj)))
+            # phase transport (FluidGPU-unidyn.cu:400-401): divergence
+            # part boundary-gated, drift part ungated (reference
+            # precedence)
+            drift_s = dkf * sum((si * sdvi[a] + sj * sdvj[a]) * rab[a]
+                                for a in range(3))
+            drift_f = dkf * sum((fi * fdvi[a] + fj * fdvj[a]) * rab[a]
+                                for a in range(3))
+            rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
+                             * (-0.5 / dj) * (si + sj) * dk_vab
+                             + (-drift_s) / dj))
+            rows.append(msum(jnp.where(both_fluid, 1.0, 0.0)
+                             * (-0.5 / dj) * (fi + fj) * dk_vab
+                             + (-drift_f) / dj))
+            return jnp.stack(rows, axis=0)
+
+        def divergence_only(_):
+            div_s = msum(jnp.where(both_fluid, 1.0, 0.0)
+                         * (-0.5 / dj) * (si + sj) * dk_vab)
+            div_f = msum(jnp.where(both_fluid, 1.0, 0.0)
+                         * (-0.5 / dj) * (fi + fj) * dk_vab)
+            return jnp.concatenate(
+                [jnp.zeros((3, nl), jnp.float32), div_s[None],
+                 div_f[None]], axis=0)
+
+        return acc + jax.lax.cond(home_drift | chunk_drift,
+                                  full_rows, divergence_only, 0)
 
     return window_body
 
