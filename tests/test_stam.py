@@ -182,5 +182,7 @@ def test_run3d_python_zg_resident_matches_per_step():
     # the residual is evaluated in a jitted context on the zg path and
     # eagerly here, so XLA may contract its arithmetic differently —
     # the layout claim above stays bitwise, the scalar gets 1-2 ulp
+    # atol floors the comparison for near-zero residuals (relative
+    # error blows up on tiny values; ADVICE r3)
     np.testing.assert_allclose(np.asarray(gres[-1]), np.asarray(rres),
-                               rtol=1e-6)
+                               rtol=1e-6, atol=1e-10)
