@@ -384,16 +384,26 @@ def _insert(state: ParticleState, incoming: ParticleState):
 
 
 def distribute(state: ParticleState, mesh: Mesh, cfg: SPHConfig,
-               capacity_per_device: int) -> ParticleState:
+               capacity_per_device: int | None = None) -> ParticleState:
     """Split a dense state into per-device pools by owned x-plane and
     shard over the mesh (the analog of the per-device particle erase at
-    solver-unidyn.cu:198-210)."""
+    solver-unidyn.cu:198-210).
+
+    ``capacity_per_device``: pool slots per device (static shape).
+    Default: 1.5x the largest initial slab population, rounded up to a
+    multiple of 8 — headroom for drift across cuts; migrants beyond it
+    are counted in ``ShardedMetrics.migrate_overflow``, never silently
+    dropped."""
     n_dev = mesh.devices.size
     gpd = cfg.grid_size // n_dev
     cx = np.trunc((np.asarray(state.pos)[:, 0] - cfg.xmin)
                   / cfg.cell_size).astype(np.int64)
     alive = np.asarray(state.alive)
     owner = np.clip(cx // gpd, 0, n_dev - 1)
+    if capacity_per_device is None:
+        peak = max(int((alive & (owner == d)).sum())
+                   for d in range(n_dev))
+        capacity_per_device = -(-max(int(peak * 1.5), 8) // 8) * 8
     pools = []
     for d in range(n_dev):
         sel = np.where(alive & (owner == d))[0]
