@@ -116,6 +116,40 @@ def test_dct_precision_tiers_solve_and_order():
     assert res["default"] < res_rb or res["default"] < 1e-4
 
 
+def test_dct_radix_split_matches_dense():
+    """One radix-2 split level (fold + DCT-II/DCT-IV half blocks with
+    permuted eigenvalues) is the same exact solve as the dense
+    single-matmul transform, to f32 roundoff — on even extents, on
+    mixed even/odd-extent ranks, and bitwise on axes below the
+    threshold."""
+    rng = np.random.default_rng(11)
+    for shape in ((32, 32, 32), (16, 32, 48), (64, 64)):
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        a = stam._dct_solve_interior(x, "highest", 0)
+        b = stam._dct_solve_interior(x, "highest", 16)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5 * float(
+                                       jnp.max(jnp.abs(a))))
+    # odd extents fall back to the dense path bitwise
+    x = jnp.asarray(rng.normal(size=(15, 15)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(stam._dct_solve_interior(x, "highest", 0)),
+        np.asarray(stam._dct_solve_interior(x, "highest", 2)))
+
+
+def test_dct_radix_solves_poisson():
+    """The radix split plumbs through dct_solve3d via
+    StamConfig.dct_radix_min and still solves to roundoff."""
+    n = 32
+    x0 = _rand_rhs(n, seed=9)
+    cfg = stam.StamConfig(n=n, projection="dct", dct_radix_min=16)
+    p = stam.dct_solve3d(x0, cfg)
+    assert float(stam.poisson_residual3d(p, x0)) < 2e-5
+    # mean-free gauge up to fold/unfold reassociation roundoff
+    # (solution magnitude ~3.6 at f32)
+    assert abs(float(jnp.mean(p[1:-1, 1:-1, 1:-1]))) < 5e-6
+
+
 def test_dct_zg_direct_matches_dense_roundtrip():
     """dct_solve3d_zg on the z-ghostless layout is bit-identical to
     restoring to dense, solving, and re-stripping."""

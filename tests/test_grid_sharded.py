@@ -156,21 +156,23 @@ def test_sharded_dct_projection_matches_dense(n_dev):
     assert float(res) < 1e-4
 
 
-@pytest.mark.parametrize("n_dev", [1, 2])
-def test_sharded_pallas_dct_step_matches_dense(n_dev):
+@pytest.mark.parametrize("n_dev,radix_min", [(1, 0), (2, 0), (2, 16)])
+def test_sharded_pallas_dct_step_matches_dense(n_dev, radix_min):
     """The Pallas per-shard pipeline with the SPECTRAL projection
     (_dct_solve_local_zg: zg-layout partial matmul + psum_scatter)
     matches the dense DCT step — round-4 regression guard: without
     the zg dct path a projection='dct' sharded step silently fell
     back to the XLA slab step whose 256^3 compile killed the TPU
-    worker in the config-5 bench secondary."""
+    worker in the config-5 bench secondary.  radix_min=16 exercises
+    the radix-2 split on the slab's local y/z transforms (the same
+    split the dense ref then uses — both must agree)."""
     from jax.experimental.pallas import tpu as pltpu
 
     n = 32
     cfg = stam.StamConfig(n=n, dt=0.02, projection="dct", red_black=True,
                           advect_mode="stencil", vorticity_eps=2.0,
                           buoyancy_alpha=0.05, buoyancy_beta=1.0,
-                          solver_backend="xla")
+                          solver_backend="xla", dct_radix_min=radix_min)
     dense = seeded3d(cfg, seed=11)
     dense = dense.replace(
         u=stam.set_bnd3d(1, dense.u), v=stam.set_bnd3d(2, dense.v),

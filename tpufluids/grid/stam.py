@@ -76,6 +76,16 @@ class StamConfig:
     # lower precision trades residual digits for MXU passes — see
     # verify/bench_dct_precision.py for the measured tradeoff.
     dct_precision: str = "highest"
+    # radix-2 split threshold for the DCT transforms: axes with even
+    # extent >= this use one fold + {DCT-II, DCT-IV} half-size split,
+    # halving that axis's MXU FLOPs (see _dct_solve_interior).  0
+    # disables.  At the default "highest" MXU precision the split wins
+    # on BOTH axes of the metric (v5e zg solve: 256^3 6.0 -> 5.0 ms,
+    # 512^3 43.9 -> 40.9 ms, residual ~2x better at both sizes); at
+    # the bf16 tiers the fold/unfold passes outweigh the halved
+    # matmuls, so set 0 when running dct_precision != "highest"
+    # (verify/bench_dct_radix_ab.py, round 4).
+    dct_radix_min: int = 256
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -525,7 +535,72 @@ _DCT_PREC = {"highest": jax.lax.Precision.HIGHEST,
              "default": jax.lax.Precision.DEFAULT}
 
 
-def _dct_solve_interior(xi, precision="highest"):
+def _dct4_mat(m):
+    """DCT-IV matrix M[q, i] = cos(pi (2q+1)(2i+1) / (4m)).
+
+    Symmetric and orthogonal up to scale: M @ M = (m/2) I, so its
+    inverse is (2/m) M — no divisions by small cosines anywhere
+    (numerically stable, unlike Lee's recursive fast-DCT split)."""
+    i = jnp.arange(m, dtype=jnp.float32)
+    return jnp.cos(jnp.pi / (4 * m)
+                   * (2 * i[:, None] + 1) * (2 * i[None, :] + 1))
+
+
+def _rev_axis(a, ax):
+    """Gather-based axis reverse.  NOT jnp.flip: lax.rev on a non-lane
+    axis of large arrays is miscompiled on the axon TPU backend
+    (observed at (256,512,512) f32, axes 0/1: rev output differs from
+    this gather by O(data) — verify/check_rev_tpu.py, round-4
+    incident).  The gather costs the same single copy."""
+    idx = jnp.arange(a.shape[ax] - 1, -1, -1)
+    return jnp.take(a, idx, axis=ax)
+
+
+def _radix_lams(n):
+    """(even-block, odd-block) Neumann eigenvalue vectors for a
+    radix-2-split axis of extent n: lam[2q] and lam[2q+1]."""
+    i = jnp.arange(n, dtype=jnp.float32)
+    lam_full = 2.0 - 2.0 * jnp.cos(jnp.pi * i / n)
+    return lam_full[0::2], lam_full[1::2]
+
+
+def _radix_fwd_axis(pieces, ax, prec):
+    """One radix-2 forward level on ``ax`` over a list of
+    (block, per-axis-eigenvalue-list) pieces: fold x into
+    x[i]+-x[n-1-i] halves, transform with the half-size DCT-II /
+    DCT-IV.  Doubles the piece count; the order keeps inverse-time
+    partners adjacent when axes unwind in reverse."""
+    n = pieces[0][0].shape[ax]
+    C2 = _dct_mats(n // 2)[0]
+    M4 = _dct4_mat(n // 2)
+    lam_e, lam_o = _radix_lams(n)
+    nxt = []
+    for a, lams in pieces:
+        m = n // 2
+        front = jax.lax.slice_in_dim(a, 0, m, axis=ax)
+        back = _rev_axis(jax.lax.slice_in_dim(a, m, n, axis=ax), ax)
+        g, h = front + back, front - back
+        nxt.append((_dct_axis(g, C2, ax, prec), lams + [lam_e]))
+        nxt.append((_dct_axis(h, M4, ax, prec), lams + [lam_o]))
+    return nxt
+
+
+def _radix_inv_axis(pieces, ax, prec):
+    """Inverse of _radix_fwd_axis on a list of plain coefficient
+    blocks: adjacent (even, odd) pairs merge back to full extent."""
+    n = 2 * pieces[0].shape[ax]
+    C2i = _dct_mats(n // 2)[1]
+    M4i = _dct4_mat(n // 2) * (2.0 / (n // 2))
+    nxt = []
+    for j in range(0, len(pieces), 2):
+        g = _dct_axis(pieces[j], C2i, ax, prec)
+        h = _dct_axis(pieces[j + 1], M4i, ax, prec)
+        nxt.append(jnp.concatenate(
+            [0.5 * (g + h), _rev_axis(0.5 * (g - h), ax)], axis=ax))
+    return nxt
+
+
+def _dct_solve_interior(xi, precision="highest", radix_min=0):
     """Exact Neumann-Poisson solve on an interior array of any rank.
 
     Solves `(2d) x - sum_nb x = xi` (the fixed point of lin_solve
@@ -539,21 +614,74 @@ def _dct_solve_interior(xi, precision="highest"):
     reference has no Poisson solver at all).
 
     ``precision`` selects the MXU passes per matmul (StamConfig
-    .dct_precision): f32-emulation / 3x bf16 / 1x bf16."""
+    .dct_precision): f32-emulation / 3x bf16 / 1x bf16.
+
+    ``radix_min``: axes with even extent n >= radix_min use one
+    radix-2 split level — DCT-II(n) = fold + {DCT-II(n/2) on
+    x[i]+x[n-1-i], DCT-IV(n/2) on x[i]-x[n-1-i]} — halving the MXU
+    FLOPs of that axis's transform (n^2 -> n^2/2 per column) at the
+    cost of cheap fold/unfold VPU passes.  The even/odd coefficient
+    interleave is never materialized: the diagonal solve runs on
+    permuted eigenvalue blocks, so the permutations cancel between the
+    forward and inverse transforms.  0 disables (the dense
+    single-matmul path, bit-compatible with earlier rounds)."""
     prec = _DCT_PREC[precision]
     nd = xi.ndim
-    lam = 0.0
-    invs = []
+    radix = [bool(radix_min) and n >= radix_min and n % 2 == 0
+             for n in xi.shape]
+
+    if not any(radix):
+        # dense path, kept verbatim for bit-compatibility
+        lam = 0.0
+        invs = []
+        for ax, n in enumerate(xi.shape):
+            C, Ci, lam1 = _dct_mats(n)
+            xi = _dct_axis(xi, C, ax, prec)
+            lam = lam + lam1.reshape((-1,) + (1,) * (nd - 1 - ax))
+            invs.append(Ci)
+        coef = xi / jnp.where(lam == 0.0, 1.0, lam)
+        coef = coef.at[(0,) * nd].set(0.0)        # pressure gauge
+        for ax, Ci in enumerate(invs):
+            coef = _dct_axis(coef, Ci, ax, prec)
+        return coef
+
+    # forward: pieces = [(coefficient block, per-axis eigenvalue 1D)].
+    # A radix axis doubles the piece count (even-coefficient block,
+    # then odd); the list order makes inverse-time partners adjacent
+    # when unwinding axes in reverse.
+    pieces = [(xi, [])]
     for ax, n in enumerate(xi.shape):
-        C, Ci, lam1 = _dct_mats(n)
-        xi = _dct_axis(xi, C, ax, prec)
-        lam = lam + lam1.reshape((-1,) + (1,) * (nd - 1 - ax))
-        invs.append(Ci)
-    coef = xi / jnp.where(lam == 0.0, 1.0, lam)
-    coef = coef.at[(0,) * nd].set(0.0)            # pressure gauge
-    for ax, Ci in enumerate(invs):
-        coef = _dct_axis(coef, Ci, ax, prec)
-    return coef
+        if radix[ax]:
+            pieces = _radix_fwd_axis(pieces, ax, prec)
+        else:
+            C, _, lam1 = _dct_mats(n)
+            pieces = [(_dct_axis(a, C, ax, prec), lams + [lam1])
+                      for a, lams in pieces]
+
+    # diagonal solve; the all-even piece 0 holds the q=0 gauge mode at
+    # its origin (every other piece has at least one odd-block
+    # eigenvalue component, all of which are > 0)
+    solved = []
+    for k, (a, lams) in enumerate(pieces):
+        lam = 0.0
+        for ax2, l1 in enumerate(lams):
+            lam = lam + l1.reshape((-1,) + (1,) * (nd - 1 - ax2))
+        if k == 0:
+            a = a / jnp.where(lam == 0.0, 1.0, lam)
+            a = a.at[(0,) * nd].set(0.0)          # pressure gauge
+        else:
+            a = a / lam
+        solved.append(a)
+    pieces = solved
+
+    # inverse, unwinding axes in reverse so radix partners are adjacent
+    for ax in reversed(range(nd)):
+        if radix[ax]:
+            pieces = _radix_inv_axis(pieces, ax, prec)
+        else:
+            Ci = _dct_mats(xi.shape[ax])[1]
+            pieces = [_dct_axis(a, Ci, ax, prec) for a in pieces]
+    return pieces[0]
 
 
 def dct_solve3d(x0, cfg=None):
@@ -562,7 +690,8 @@ def dct_solve3d(x0, cfg=None):
     roundoff) in a fixed ~52 GFLOP at 256^3."""
     sol = _dct_solve_interior(
         x0[1:-1, 1:-1, 1:-1],
-        "highest" if cfg is None else cfg.dct_precision)
+        "highest" if cfg is None else cfg.dct_precision,
+        0 if cfg is None else cfg.dct_radix_min)
     p = jnp.zeros_like(x0).at[1:-1, 1:-1, 1:-1].set(sol)
     return set_bnd3d(0, p)
 
@@ -581,7 +710,8 @@ def dct_solve3d_zg(x0, cfg, te):
     zi = z_true - 2
     sol = _dct_solve_interior(
         x0[1:-1, 1:y_true - 1, :zi],
-        "highest" if cfg is None else cfg.dct_precision)
+        "highest" if cfg is None else cfg.dct_precision,
+        0 if cfg is None else cfg.dct_radix_min)
     p = jnp.zeros_like(x0).at[1:-1, 1:y_true - 1, :zi].set(sol)
     p = p.at[0].set(p[1])
     p = p.at[-1].set(p[-2])
@@ -594,7 +724,8 @@ def dct_solve2d(x0, cfg=None):
     """2D spectral projection solve (lin_solve2d b=0, c=4 system)."""
     sol = _dct_solve_interior(
         x0[1:-1, 1:-1],
-        "highest" if cfg is None else cfg.dct_precision)
+        "highest" if cfg is None else cfg.dct_precision,
+        0 if cfg is None else cfg.dct_radix_min)
     p = jnp.zeros_like(x0).at[1:-1, 1:-1].set(sol)
     return set_bnd2d(0, p)
 

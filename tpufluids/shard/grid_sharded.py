@@ -233,7 +233,8 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
     a ``projection='dct'`` sharded step fell back to the pure-XLA slab
     step, whose 256^3 compile is pathological (round-4 incident: the
     config-5 bench secondary killed the TPU worker)."""
-    from tpufluids.grid.stam import _DCT_PREC, _dct_axis, _dct_mats
+    from tpufluids.grid.stam import (_DCT_PREC, _dct_axis, _dct_mats,
+                                     _radix_fwd_axis, _radix_inv_axis)
 
     prec = _DCT_PREC["highest" if cfg is None else cfg.dct_precision]
     y_true, z_true = te
@@ -242,6 +243,10 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
     off = jax.lax.axis_index(AXIS) * c if n_dev > 1 else 0
     xi = dslab[:, 1:y_true - 1, :zi]
     C, Ci, lam1 = _dct_mats(n)
+    # radix-2 split on the LOCAL (y/z) transforms only — the sharded x
+    # transform stays the partial-matmul + psum_scatter contraction
+    radix_min = 0 if cfg is None else cfg.dct_radix_min
+    use_radix = bool(radix_min) and n >= radix_min and n % 2 == 0
 
     def xmul(a, m):
         cols = jax.lax.dynamic_slice_in_dim(m, off, c, axis=1)
@@ -251,20 +256,44 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
         return jax.lax.psum_scatter(part, AXIS, scatter_dimension=0,
                                     tiled=True)
 
+    lamx = jax.lax.dynamic_slice_in_dim(lam1, off, c)
     F = xmul(xi, C)
-    F = _dct_axis(F, C, 1, prec)
-    F = _dct_axis(F, C, 2, prec)
-    lam = (jax.lax.dynamic_slice_in_dim(lam1, off, c)[:, None, None]
-           + lam1[None, :, None] + lam1[None, None, :])
-    coef = F / jnp.where(lam == 0.0, 1.0, lam)
-    # zero the global (0,0,0) gauge mode (lives on device 0's slab)
-    gauge = ((jnp.arange(c)[:, None, None] + off == 0)
-             & (jnp.arange(n)[None, :, None] == 0)
-             & (jnp.arange(n)[None, None, :] == 0))
-    coef = jnp.where(gauge, 0.0, coef)
-    sol = xmul(coef, Ci)
-    sol = _dct_axis(sol, Ci, 1, prec)
-    sol = _dct_axis(sol, Ci, 2, prec)
+    if use_radix:
+        pieces = [(F, [])]
+        pieces = _radix_fwd_axis(pieces, 1, prec)
+        pieces = _radix_fwd_axis(pieces, 2, prec)
+        solved = []
+        for k, (a, lams) in enumerate(pieces):
+            lam = (lamx[:, None, None] + lams[0][None, :, None]
+                   + lams[1][None, None, :])
+            if k == 0:
+                a = a / jnp.where(lam == 0.0, 1.0, lam)
+                # zero the global (0,0,0) gauge mode (device 0's slab)
+                m2 = n // 2
+                gauge = ((jnp.arange(c)[:, None, None] + off == 0)
+                         & (jnp.arange(m2)[None, :, None] == 0)
+                         & (jnp.arange(m2)[None, None, :] == 0))
+                a = jnp.where(gauge, 0.0, a)
+            else:
+                a = a / lam
+            solved.append(a)
+        pieces = _radix_inv_axis(solved, 2, prec)
+        pieces = _radix_inv_axis(pieces, 1, prec)
+        sol = xmul(pieces[0], Ci)
+    else:
+        F = _dct_axis(F, C, 1, prec)
+        F = _dct_axis(F, C, 2, prec)
+        lam = (lamx[:, None, None]
+               + lam1[None, :, None] + lam1[None, None, :])
+        coef = F / jnp.where(lam == 0.0, 1.0, lam)
+        # zero the global (0,0,0) gauge mode (lives on device 0's slab)
+        gauge = ((jnp.arange(c)[:, None, None] + off == 0)
+                 & (jnp.arange(n)[None, :, None] == 0)
+                 & (jnp.arange(n)[None, None, :] == 0))
+        coef = jnp.where(gauge, 0.0, coef)
+        sol = xmul(coef, Ci)
+        sol = _dct_axis(sol, Ci, 1, prec)
+        sol = _dct_axis(sol, Ci, 2, prec)
     p = jnp.zeros_like(dslab).at[:, 1:y_true - 1, :zi].set(sol)
     # stored ghost faces (y only; z faces are synthesized by zg
     # consumers as +1 * adjacent, the b=0 dense value)
