@@ -107,12 +107,16 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
                 hc = 128 if cfg.pallas_col_cap > 128 else 0
             zs = cfg.pallas_z_skip
             if zs < 0:
-                # auto: on only when the rounded home block spans >= 4
-                # chunks — the skip's win scales with the chunk count
-                # (v5e 524k/cap-584 = 5 chunks: 110.9 -> 104.2 ms/step;
-                # 131k/cap-176 = 2 chunks: 24.6 -> 30.0, the cond
-                # dispatch overhead dominates; bench_sph_zskip_ab.py)
-                zs = 1 if hc and -(-cfg.pallas_col_cap // hc) >= 4 else 0
+                # auto: on only when the rounded home block spans >= 5
+                # chunks — the skip's win scales with the chunk count.
+                # Measured crossover (bench_sph_zskip_ab.py, v5e, full
+                # step, column family): 2 chunks (131k/cap-176)
+                # 24.6 -> 30.0 LOSS; 3 chunks (262k/cap-304)
+                # 58.8 -> 66.4 LOSS; 4 chunks (393k/cap-448)
+                # 74.3 -> 77.5 loss; 5 chunks (524k/cap-584)
+                # 110.9 -> 104.2 WIN — the cond dispatch overhead
+                # needs >= ~half the window provably skippable.
+                zs = 1 if hc and -(-cfg.pallas_col_cap // hc) >= 5 else 0
             sw, dp, kovf = base_forces_pallas(
                 state, bt, cfg, b=cfg.pallas_col_cap,
                 w_cap=cfg.pallas_col_cap, grid=grid, order=order,

@@ -59,7 +59,7 @@ for n in sizes:
     t_pack = timeit(f"n={n} pack_by_order", lambda: pack_j(s0, order, bt))
 
     hc = 128 if cap > 128 else 0
-    zs = bool(hc and -(-cap // hc) >= 4)
+    zs = bool(hc and -(-cap // hc) >= 5)  # step.py auto crossover
     col_j = jax.jit(lambda s, o, b: base_forces_pallas(
         s, b, cfg, b=cap, w_cap=cap, order=o,
         w_chunk=cfg.pallas_w_chunk, h_chunk=hc, z_skip=zs))
