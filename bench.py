@@ -147,7 +147,8 @@ def main():
     state, res = stam.run3d_python(state, cfg, warmup)
     float(jnp.sum(state.u))  # honest fence (block_until_ready is
     # unreliable through the axon tunnel)
-    log(f"compile+warmup ({warmup} steps): {time.perf_counter() - t0:.1f}s")
+    t_warm = time.perf_counter() - t0
+    log(f"compile+warmup ({warmup} steps): {t_warm:.1f}s")
 
     # time in segments and report the median rate: the remote-compile
     # tunnel occasionally injects multi-second stalls that would
@@ -343,8 +344,14 @@ def main():
 
     # 512^3 segment (the scaling axis of BASELINE config 5): fresh
     # compiles for this probe can take minutes, which is what killed
-    # round 3 — it now runs LAST and only with generous budget left
-    if n == 256 and budget("512^3 probe", 420):
+    # round 3 — it now runs LAST, only with generous budget left, and
+    # only when the tunnel compiler is healthy: 512-sized Pallas
+    # kernels never hit the cross-process compilation cache, and a
+    # congested remote compiler was measured taking 300-950 s PER
+    # KERNEL (r4, verify/bench_stages_tail.py) — a single blocking
+    # compile cannot be interrupted by the deadline, so the
+    # headline's own compile+warmup time is the health proxy
+    if n == 256 and t_warm < 120 and budget("512^3 probe", 600):
         try:
             c512 = cfg.replace(n=512, dt=0.5 / 512)
             s512 = seeded(c512)
