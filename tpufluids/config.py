@@ -198,6 +198,23 @@ class SPHConfig:
     # verify/bench_sph_scaling_ab.py).  Both families serve the full
     # cube AND sharded x-slabs (binning.GridSpec).
     pallas_kernel: str = "auto"
+    # Spatial-sort cadence: 1 = re-sort the pool every step (the
+    # reference's thrust::sort_by_key cadence, solver.cu:181).  K > 1
+    # re-sorts every K-th step and reuses the binning tables in
+    # between (the pool storage stays in the last sort's order, so the
+    # Pallas kernels read it without the per-step order gather — at 2M
+    # particles sort+pack were 28% of the step, BASELINE.md r4/r5).
+    # Between sorts the neighbor WINDOWS come from sort-time cell
+    # membership while the pair masks (|dcx|,|dcy|,|dcz| <= 1 and
+    # ds <= 2h) are evaluated on CURRENT positions, so the pair set is
+    # the fresh-sort set minus pairs whose endpoints drifted >= 1 cell
+    # apart in x/y since the sort — with per-step drift bounded by
+    # max_speed*dt (a few % of a cell at the reference scenes), losses
+    # sit in the same outer-support tail the reference's own 27-cell
+    # stencil already truncates (FluidGPU.cu:124-126).  Python drivers
+    # (run/run_python) only; requires the Pallas backend and the base
+    # variant (unidyn's octant/home_count sub-bin state would go stale).
+    sort_every: int = 1
     # dense neighbor-run capacity: each of the 9 (dx,dy) stencil runs covers
     # the contiguous cells (z-1, z, z+1) and holds at most 3*max_per_cell
     # particle slots; overflow is deterministic (highest-rank dropped) and

@@ -79,13 +79,14 @@ class StamConfig:
     # radix-2 split threshold for the DCT transforms: axes with even
     # extent >= this use one fold + {DCT-II, DCT-IV} half-size split,
     # halving that axis's MXU FLOPs (see _dct_solve_interior).  0
-    # disables.  At the default "highest" MXU precision the split wins
-    # on BOTH axes of the metric (v5e zg solve: 256^3 6.0 -> 5.0 ms,
-    # 512^3 43.9 -> 40.9 ms, residual ~2x better at both sizes); at
-    # the bf16 tiers the fold/unfold passes outweigh the halved
-    # matmuls, so set 0 when running dct_precision != "highest"
-    # (verify/bench_dct_radix_ab.py, round 4).
-    dct_radix_min: int = 256
+    # disables; -1 (default) = auto: 256 at dct_precision "highest"
+    # (where the split wins on BOTH metric axes — v5e zg solve: 256^3
+    # 6.0 -> 5.0 ms, 512^3 43.9 -> 40.9 ms, residual ~2x better) and
+    # OFF at the bf16 tiers, where the fold/unfold passes outweigh the
+    # halved matmuls (512^3 high: 29.4 direct vs 36.3 radix —
+    # verify/bench_dct_radix_ab.py; ADVICE r4).  An explicit value is
+    # honored at any precision.
+    dct_radix_min: int = -1
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -684,6 +685,17 @@ def _dct_solve_interior(xi, precision="highest", radix_min=0):
     return pieces[0]
 
 
+def _radix_min(cfg):
+    """Effective radix-split threshold: resolves the -1 auto default
+    (split only at the "highest" MXU precision, where it is a measured
+    win — see StamConfig.dct_radix_min)."""
+    if cfg is None:
+        return 0
+    if cfg.dct_radix_min >= 0:
+        return cfg.dct_radix_min
+    return 256 if cfg.dct_precision == "highest" else 0
+
+
 def dct_solve3d(x0, cfg=None):
     """Spectral projection solve on the ghosted 3D array (see
     _dct_solve_interior).  Residual ~1e-6-relative (float32 transform
@@ -691,7 +703,7 @@ def dct_solve3d(x0, cfg=None):
     sol = _dct_solve_interior(
         x0[1:-1, 1:-1, 1:-1],
         "highest" if cfg is None else cfg.dct_precision,
-        0 if cfg is None else cfg.dct_radix_min)
+        _radix_min(cfg))
     p = jnp.zeros_like(x0).at[1:-1, 1:-1, 1:-1].set(sol)
     return set_bnd3d(0, p)
 
@@ -711,7 +723,7 @@ def dct_solve3d_zg(x0, cfg, te):
     sol = _dct_solve_interior(
         x0[1:-1, 1:y_true - 1, :zi],
         "highest" if cfg is None else cfg.dct_precision,
-        0 if cfg is None else cfg.dct_radix_min)
+        _radix_min(cfg))
     p = jnp.zeros_like(x0).at[1:-1, 1:y_true - 1, :zi].set(sol)
     p = p.at[0].set(p[1])
     p = p.at[-1].set(p[-2])
@@ -725,7 +737,7 @@ def dct_solve2d(x0, cfg=None):
     sol = _dct_solve_interior(
         x0[1:-1, 1:-1],
         "highest" if cfg is None else cfg.dct_precision,
-        0 if cfg is None else cfg.dct_radix_min)
+        _radix_min(cfg))
     p = jnp.zeros_like(x0).at[1:-1, 1:-1].set(sol)
     return set_bnd2d(0, p)
 

@@ -240,12 +240,30 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
     y_true, z_true = te
     zi = z_true - 2
     c = dslab.shape[0]
-    off = jax.lax.axis_index(AXIS) * c if n_dev > 1 else 0
     xi = dslab[:, 1:y_true - 1, :zi]
+
+    if n_dev == 1:
+        # the slab IS the full interior: run the dense interior solver
+        # (radix split on ALL THREE axes, no partial-matmul/collective
+        # pattern — on a 1-device mesh that pattern cost real time even
+        # though the psum_scatter itself is a no-op: config5 ran 13.5%
+        # over the unsharded step in BENCH_r04, the same trick as the
+        # SPH n_dev==1 static fast path, r4)
+        from tpufluids.grid.stam import _dct_solve_interior, _radix_min
+        sol = _dct_solve_interior(
+            xi, "highest" if cfg is None else cfg.dct_precision,
+            _radix_min(cfg))
+        p = jnp.zeros_like(dslab).at[:, 1:y_true - 1, :zi].set(sol)
+        p = p.at[:, 0].set(p[:, 1])
+        p = p.at[:, y_true - 1].set(p[:, y_true - 2])
+        return p
+
+    off = jax.lax.axis_index(AXIS) * c
     C, Ci, lam1 = _dct_mats(n)
     # radix-2 split on the LOCAL (y/z) transforms only — the sharded x
     # transform stays the partial-matmul + psum_scatter contraction
-    radix_min = 0 if cfg is None else cfg.dct_radix_min
+    from tpufluids.grid.stam import _radix_min
+    radix_min = _radix_min(cfg)
     use_radix = bool(radix_min) and n >= radix_min and n % 2 == 0
 
     def xmul(a, m):

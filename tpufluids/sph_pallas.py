@@ -115,7 +115,7 @@ def _window_loop(col_start, packed_hbm, cx, cy, win2, sems, *, gx, gy,
 
 def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
                 gx, gy, b, w_cap, cfg: SPHConfig, w_chunk=0, h_chunk=0,
-                z_skip=False):
+                z_skip=False, xy_cells=False):
     t = pl.program_id(0)
     cx = t // gy
     cy = t % gy
@@ -128,7 +128,8 @@ def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
         _column_body(col_start, packed_hbm, out_ref, home, win2, sems,
                      t=t, cx=cx, cy=cy, h_start=h_start, h_count=h_count,
                      gx=gx, gy=gy, b=b, w_cap=w_cap, cfg=cfg,
-                     w_chunk=w_chunk, h_chunk=h_chunk, z_skip=z_skip)
+                     w_chunk=w_chunk, h_chunk=h_chunk, z_skip=z_skip,
+                     xy_cells=xy_cells)
 
 
 def _make_base_body(hmT, i_valid, cfg, *, xy_cells=False):
@@ -208,7 +209,8 @@ def _make_base_body(hmT, i_valid, cfg, *, xy_cells=False):
     return window_body
 
 
-def _make_base_body_hc(hmT, h_count, b, cfg, hc, z_skip=False):
+def _make_base_body_hc(hmT, h_count, b, cfg, hc, z_skip=False,
+                       xy_cells=False):
     """Home-lane-chunked twin of _make_base_body: the pair tile is
     (W, hc) instead of (W, B) and chunks past the column's actual
     population are skipped with lax.cond, so home-side VPU work scales
@@ -248,7 +250,8 @@ def _make_base_body_hc(hmT, h_count, b, cfg, hc, z_skip=False):
             czi = jnp.floor((hT[_X + 2, :][None, :] - zmin) / cs)
             band = (jnp.min(jnp.where(i_valid, czi, jnp.float32(3e38))),
                     jnp.max(jnp.where(i_valid, czi, jnp.float32(-3e38))))
-        bodies.append((_make_base_body(hT, i_valid, cfg), band))
+        bodies.append((_make_base_body(hT, i_valid, cfg,
+                                       xy_cells=xy_cells), band))
 
     def window_body(acc, wj, w_count, r):
         if z_skip:
@@ -279,7 +282,7 @@ def _make_base_body_hc(hmT, h_count, b, cfg, hc, z_skip=False):
 
 def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
                  t, cx, cy, h_start, h_count, gx, gy, b, w_cap, cfg,
-                 w_chunk=0, h_chunk=0, z_skip=False):
+                 w_chunk=0, h_chunk=0, z_skip=False, xy_cells=False):
     cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
                                sems.at[2])
     cp.start()
@@ -290,12 +293,13 @@ def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,
     hmT = home[...].T                                     # (F, B)
     if h_chunk:
         window_body = _make_base_body_hc(hmT, h_count, b, cfg, h_chunk,
-                                         z_skip=z_skip)
+                                         z_skip=z_skip, xy_cells=xy_cells)
     else:
         i_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
                     < h_count)
                    & (hmT[_ALIVE, :][None, :] > 0.5))
-        window_body = _make_base_body(hmT, i_valid, cfg)
+        window_body = _make_base_body(hmT, i_valid, cfg,
+                                      xy_cells=xy_cells)
 
     acc = _window_loop(col_start, packed_hbm, cx, cy, win2, sems,
                        gx=gx, gy=gy, w_cap=w_cap, body_fn=window_body,
@@ -321,14 +325,16 @@ def _pack_base_by_order(state: ParticleState, order, bt, pad: int):
     """Build the base packed kernel input directly from the UNSORTED
     pool with one row gather by ``order`` (binning.sort_tables mode):
     replaces permute_pool's 33-column gather + the field-by-field
-    packing writes."""
+    packing writes.  ``order=None``: the pool storage IS the kernel
+    order (sort_by_cell / stale-tables mode) — no gather at all, the
+    pack is a pure streaming write."""
     f32 = jnp.float32
     n = state.capacity
     cols = jnp.concatenate([
         state.pos, state.vel, state.dens[:, None], state.press[:, None],
         state.boundary.astype(f32)[:, None],
         state.alive.astype(f32)[:, None]], axis=1)          # (n, 10)
-    rows = cols[order]
+    rows = cols if order is None else cols[order]
     alive = rows[:, 9:10] * bt.in_dom.astype(f32)[:, None]
     rows = jnp.concatenate([rows[:, :9], alive], axis=1)
     return jnp.pad(rows, ((0, pad), (0, F - 10)))
@@ -357,11 +363,16 @@ def _pack_unidyn_by_order(state: ParticleState, order, bt, pad: int,
         s.boundary.astype(f32)[:, None], s.alive.astype(f32)[:, None],
         s.mass[:, None], s.solid[:, None], s.fluid[:, None],
         s.delpress, s.stress.reshape(n, 9)], axis=1)        # (n, 25)
-    rows = cols[order]
+    rows = cols if order is None else cols[order]
+    if order is None:
+        order_f = jnp.arange(n, dtype=f32)
+        elig = _merge_elig(s, cfg)
+    else:
+        order_f = order.astype(f32)
+        elig = _merge_elig(s, cfg)[order]
     alive = rows[:, 9:10] * bt.in_dom.astype(f32)[:, None]
     if cfg.merge_dist > 0:
-        merge_cols = [_merge_elig(s, cfg)[order][:, None],
-                      order.astype(f32)[:, None]]
+        merge_cols = [elig[:, None], order_f[:, None]]
     else:
         merge_cols = [jnp.zeros((n, 2), f32)]
     rows = jnp.concatenate([
@@ -376,7 +387,8 @@ def _pack_unidyn_by_order(state: ParticleState, order, bt, pad: int,
 def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
                        cfg: SPHConfig, b: int = 128, w_cap: int = 128,
                        grid=None, order=None, w_chunk: int = 0,
-                       h_chunk: int = 0, z_skip: bool = False):
+                       h_chunk: int = 0, z_skip: bool = False,
+                       xy_cells: bool = False):
     """Compute (sum_w, dpress, overflow) for the base variant with the
     column-window Pallas kernel.  ``sorted_state`` must be cell-sorted
     with the same ``grid`` (binning.GridSpec; None = full cube — a
@@ -424,7 +436,7 @@ def base_forces_pallas(sorted_state: ParticleState, bt: BinTable,
 
     kern = functools.partial(_sph_kernel, gx=gx, gy=gy, b=b, w_cap=w_cap,
                              cfg=cfg, w_chunk=w_chunk, h_chunk=h_chunk,
-                             z_skip=z_skip)
+                             z_skip=z_skip, xy_cells=xy_cells)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gx * gy,),
@@ -1322,11 +1334,7 @@ def base_forces_rowblock(state: ParticleState, bt: BinTable,
     n = state.capacity
     ch = w_chunk or 32
     pad = max(rb, ch)
-    if order is not None:
-        packed = _pack_base_by_order(state, order, bt, pad)
-    else:
-        packed = _pack_base_by_order(
-            state, jnp.arange(n, dtype=jnp.int32), bt, pad)
+    packed = _pack_base_by_order(state, order, bt, pad)
     col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
     out = _run_rowblock_kernel(_base_rowblock_kernel, col_start, packed,
                                n, gx, gy, ch, cfg, rb=rb, z_skip=z_skip)
@@ -1346,11 +1354,7 @@ def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
     n = state.capacity
     ch = w_chunk or 32
     pad = max(rb, ch)
-    ident = None
-    if order is None:
-        ident = jnp.arange(n, dtype=jnp.int32)
-    packed = _pack_unidyn_by_order(state, order if order is not None
-                                   else ident, bt, pad, cfg)
+    packed = _pack_unidyn_by_order(state, order, bt, pad, cfg)
     col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
     out_a = _run_rowblock_kernel(_unidyn_rowblock_kernel_a, col_start,
                                  packed, n, gx, gy, ch, cfg, rb=rb,

@@ -75,13 +75,19 @@ def use_pallas_forces(cfg: SPHConfig, subbin_parity=None) -> bool:
 
 def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
                     subbin_parity=None, drift_fix=None,
-                    grid=None, order=None):
+                    grid=None, order=None, stale=False):
     """Compute the ForceAccum with the resolved backend; returns
     (acc, kernel_overflow).  Shared by the single-device step and the
     sharded step (which passes its local GridSpec + drift_fix hook).
 
     ``order``: binning.sort_tables mode — the state is the UNSORTED
-    pool and results come back in pool order (Pallas backends only)."""
+    pool and results come back in pool order (Pallas backends only).
+
+    ``stale``: the BinTable was built on an EARLIER step's positions
+    (cfg.sort_every > 1) — the column family then adds the fresh
+    per-pair |dcx|,|dcy| <= 1 cell masks (xy_cells) that its window
+    construction normally guarantees, so the pair set stays a subset
+    of the fresh-sort stencil (the rowblock family always masks)."""
     subbin_parity = resolve_subbin(cfg, subbin_parity)
     use_pallas = use_pallas_forces(cfg, subbin_parity)
     assert order is None or use_pallas, \
@@ -121,7 +127,7 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
                 state, bt, cfg, b=cfg.pallas_col_cap,
                 w_cap=cfg.pallas_col_cap, grid=grid, order=order,
                 w_chunk=cfg.pallas_w_chunk,
-                h_chunk=hc, z_skip=bool(zs and hc))
+                h_chunk=hc, z_skip=bool(zs and hc), xy_cells=stale)
         z3 = jnp.zeros((n, 3), jnp.float32)
         z33 = jnp.zeros((n, 3, 3), jnp.float32)
         acc = ForceAccum(
@@ -175,6 +181,12 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
         order = None
     acc, kovf = dispatch_forces(state, bt, cfg,
                                 subbin_parity=subbin_parity, order=order)
+    return _finish_step(state, bt, acc, kovf, cfg)
+
+
+def _finish_step(state, bt, acc, kovf, cfg):
+    """Merge/update/split + per-step metrics (shared by sph_step and
+    the stale-tables step)."""
     bt = bt._replace(overflow=bt.overflow + kovf)
     if cfg.variant != "base" and cfg.merge_dist > 0:
         state = adapt.apply_merges(state, acc.merge_partner, cfg)
@@ -194,6 +206,49 @@ def sph_step(state: ParticleState, cfg: SPHConfig,
         n_split=jnp.sum(state.split.astype(jnp.int32)),
     )
     return state, metrics
+
+
+def sph_step_stale(state: ParticleState, bt, cfg: SPHConfig):
+    """One step against a PREVIOUSLY built BinTable (cfg.sort_every
+    amortization): the pool storage is still in the last sort's order,
+    so the Pallas kernels read it directly — no per-step sort and no
+    per-step order gather (at 2M particles those were 28% of the step,
+    BASELINE.md).  The kernels evaluate the pair masks on current
+    positions (see dispatch_forces ``stale``).  Base variant + Pallas
+    backend only — enforced by use_sort_every()."""
+    acc, kovf = dispatch_forces(state, bt, cfg, order=None, stale=True)
+    return _finish_step(state, bt, acc, kovf, cfg)
+
+
+def use_sort_every(cfg: SPHConfig, subbin_parity=None) -> bool:
+    """Whether the drivers should amortize the sort (cfg.sort_every>1).
+    Requires the Pallas backend and the base variant: unidyn's
+    octant/home_count sub-bin inputs and merge compaction live in the
+    tables and would go stale."""
+    if cfg.sort_every <= 1:
+        return False
+    if cfg.variant != "base":
+        raise ValueError("sort_every > 1 supports the base variant "
+                         "only (unidyn sub-bin/merge state would go "
+                         "stale between sorts)")
+    if not use_pallas_forces(cfg, subbin_parity):
+        raise ValueError("sort_every > 1 requires the Pallas force "
+                         "backend")
+    return True
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jitted_sort_step(state: ParticleState, cfg: SPHConfig):
+    """Re-sort (pool physically permuted to cell order) + one stale
+    step in a single dispatch; returns (state, bt, metrics)."""
+    state, bt = binning.sort_by_cell(state, cfg, runs=False)
+    state, metrics = sph_step_stale(state, bt, cfg)
+    return state, bt, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jitted_stale_step(state: ParticleState, bt, cfg: SPHConfig):
+    return sph_step_stale(state, bt, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "subbin_parity"))
@@ -230,6 +285,16 @@ def run_python(state: ParticleState, cfg: SPHConfig, n_steps: int,
     where custom calls inside lax.scan pay a per-call host round trip
     (the axon TPU tunnel) — which matters once the Pallas force kernel
     is enabled.  Returns (state, last-step metrics)."""
+    if use_sort_every(cfg, subbin_parity):
+        metrics, bt = None, None
+        for i in range(n_steps):
+            if i % cfg.sort_every == 0:
+                state, bt, metrics = _jitted_sort_step(state, cfg)
+            else:
+                state, metrics = _jitted_stale_step(state, bt, cfg)
+            if (i + 1) % FENCE_EVERY == 0:
+                float(state.pos[0, 0])
+        return state, metrics
     metrics = None
     for i in range(n_steps):
         state, metrics = _jitted_sph_step(state, cfg, subbin_parity)
@@ -258,9 +323,17 @@ def run(state: ParticleState, cfg: SPHConfig, n_steps: int,
     scan formulation would erase the kernel speedup."""
     if use_pallas_forces(cfg, subbin_parity):
         import numpy as _np
+        sort_every = use_sort_every(cfg, subbin_parity)
         all_m = []
+        bt = None
         for i in range(n_steps):
-            state, m = _jitted_sph_step(state, cfg, subbin_parity)
+            if sort_every:
+                if i % cfg.sort_every == 0:
+                    state, bt, m = _jitted_sort_step(state, cfg)
+                else:
+                    state, m = _jitted_stale_step(state, bt, cfg)
+            else:
+                state, m = _jitted_sph_step(state, cfg, subbin_parity)
             all_m.append(m)
             if (i + 1) % FENCE_EVERY == 0:
                 float(state.pos[0, 0])

@@ -1,4 +1,13 @@
-"""Per-op cost model of the VPU inside a VMEM-resident pallas loop:
+"""SUPERSEDED (round 5): the numbers below are a MEASUREMENT ARTIFACT.
+The 3-rep timed windows (~9 ms) measured the 25-50 ms final-fence
+tunnel round trip divided by 3, not the kernels — every row's total
+was ~9-12 ms regardless of array size.  The corrected probe with
+>= 1.5 s adaptive windows is verify/bench_roofline.py: a VMEM-resident
+add pass costs 0.66 ps/elem (not ~21), the half-sweep mix 3.76, and a
+properly-tiled streamed copy sustains 650 GB/s R+W.  See BASELINE.md
+"Measured roofline (round 5)".  Kept for the historical record.
+
+Per-op cost model of the VPU inside a VMEM-resident pallas loop:
 what does one whole-array pass cost per element for an add / fma /
 select / lane- / sublane- / plane-shift / the full red-black half-sweep
 op mix?  This calibrates how much an op-count reduction in the solver

@@ -75,4 +75,34 @@ for n in sizes:
           f"{(t_sort + t_pack) / t_step * 100:.0f}%; overflow={ovf}",
           flush=True)
     assert ovf == 0, f"column cap {cap} overflowed: {ovf}"
+
+    # --- sort_every amortization (r5): the stale step keeps the pool
+    # in the last sort's storage order, so it pays neither the 2M-row
+    # packed-key sort nor the per-step order gather (pack becomes a
+    # streaming write) — see step.sph_step_stale
+    from tpufluids.step import _jitted_sort_step, _jitted_stale_step
+    K = 8
+    cfgK = cfg.replace(sort_every=K)
+    s_sorted, bt, _ = _jitted_sort_step(s0, cfgK)
+    float(s_sorted.pos[0, 0])
+    t_ss = timeit(f"n={n} re-sort step (sort_by_cell + stale step)",
+                  lambda: _jitted_sort_step(s0, cfgK))
+    t_st = timeit(f"n={n} stale step",
+                  lambda: _jitted_stale_step(s_sorted, bt, cfgK))
+    amort = (t_ss + (K - 1) * t_st) / K
+    print(f"n={n} sort_every={K}: amortized {amort:.1f} ms/step = "
+          f"{amort / n * 1e6:.0f} ns/particle (was {t_step:.1f}; "
+          f"sort share {(t_ss - t_st) / K / amort * 100:.0f}%)",
+          flush=True)
+
+    # agreement + overflow over one K-cycle vs every-step sorting
+    from tpufluids.step import run_python
+    sa, ma = run_python(s0, cfg, K)
+    sb, mb = run_python(s0, cfgK, K)
+    ia = np.argsort(np.asarray(sa.pid))
+    ib = np.argsort(np.asarray(sb.pid))
+    dp = np.abs(np.asarray(sa.pos)[ia] - np.asarray(sb.pos)[ib]).max()
+    print(f"n={n} sort_every={K} agreement after {K} steps: "
+          f"max|dpos|={dp:.2e}, overflow={int(mb.bin_overflow)}",
+          flush=True)
 print("DONE", flush=True)
