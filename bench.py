@@ -116,8 +116,13 @@ def main():
     if steps is None:
         # segments end in a scalar-readback fence whose tunnel round
         # trip (25-50 ms) is inside the timed window — segments must be
-        # long enough to amortize it (verify/bench_fence_cadence.py)
-        steps = 100 if n <= 256 else 40
+        # long enough to amortize it (verify/bench_fence_cadence.py).
+        # r5: the r4 windows (5 segments of 20 steps) still carried a
+        # ~1.5-2 ms/step fence tax at 256^3 (~37 ms / 20 steps); 3
+        # segments of 150 cut it to ~0.25 ms/step.  The tax is
+        # measurement artifact, not chip time — production drivers
+        # dispatch steps back-to-back without per-segment readbacks.
+        steps = 450 if n <= 256 else 60
 
     from tpufluids.grid import stam
 
@@ -133,7 +138,15 @@ def main():
     base_kw = dict(n=n, dt=0.5 / n, jacobi_iters=20, red_black=True,
                    vorticity_eps=2.0, buoyancy_beta=0.5,
                    buoyancy_alpha=0.05, advect_mode="stencil")
-    cfg = stam.StamConfig(projection="dct", **base_kw)
+    # dct_precision_first: the step's FIRST (pre-advection) projection
+    # runs at the cheap bf16 tier; the post-advect solve — the one the
+    # residual reports and every step ends on — stays "highest".  Even
+    # the cheap tier's intermediate divergence (~1e-5) beats the
+    # published Stam scheme's 20-Jacobi-sweep projection (2.2e-5).
+    # Measured solve cost highest-radix vs default: 2.08 vs ~0.8 ms at
+    # 256^3, 41.5 vs 15.3 at 512^3 (verify/bench_dct_radix_ab.py r5).
+    cfg = stam.StamConfig(projection="dct",
+                          dct_precision_first="default", **base_kw)
 
     def seeded(c):
         s = stam.make_grid3d(c)
@@ -153,16 +166,16 @@ def main():
     # time in segments and report the median rate: the remote-compile
     # tunnel occasionally injects multi-second stalls that would
     # otherwise corrupt a single long measurement
-    seg = max(steps // 5, 1)
+    seg = max(steps // 3, 1)
     rates = []
     residual = None
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         state, res = stam.run3d_python(state, cfg, seg)
         float(jnp.sum(state.u))
         rates.append((time.perf_counter() - t0) / seg)
         residual = float(res[-1])
-    dt = sorted(rates)[2]
+    dt = sorted(rates)[1]
 
     cell_updates = n ** 3 / dt
     log(f"segment ms/step: {[round(r * 1e3, 1) for r in rates]}")
@@ -206,11 +219,12 @@ def main():
             jstate = seeded(jcfg)
             jstate, jres = stam.run3d_python(jstate, jcfg, warmup)
             float(jnp.sum(jstate.u))
+            jseg = max(seg, 100) if n <= 256 else seg
             t0 = time.perf_counter()
-            jstate, jres = stam.run3d_python(jstate, jcfg, seg)
+            jstate, jres = stam.run3d_python(jstate, jcfg, jseg)
             float(jnp.sum(jstate.u))
             extra["jacobi_ms_per_step"] = round(
-                (time.perf_counter() - t0) / seg * 1e3, 2)
+                (time.perf_counter() - t0) / jseg * 1e3, 2)
             extra["jacobi_poisson_residual"] = float(jres[-1])
             log(f"jacobi continuity: {extra['jacobi_ms_per_step']} "
                 f"ms/step, residual "
@@ -238,10 +252,10 @@ def main():
                 s, m = run_python(s, scfg, 2)
                 float(s.pos[0, 0])
                 t0 = time.perf_counter()
-                s, m = run_python(s, scfg, 60)
+                s, m = run_python(s, scfg, 300)
                 float(s.pos[0, 0])
                 extra[sname + "_ms_per_step"] = round(
-                    (time.perf_counter() - t0) / 60 * 1e3, 2)
+                    (time.perf_counter() - t0) / 300 * 1e3, 2)
                 log(f"SPH {sname}: "
                     f"{extra[sname + '_ms_per_step']} ms/step")
         except Exception as e:
@@ -260,14 +274,14 @@ def main():
             scfg = BASE_CONFIG
             s = base_dam(scfg)
             sh = distribute(s, mesh1, scfg, s.capacity)
-            stepn = make_sharded_step(mesh1, scfg, n_steps=60)
+            stepn = make_sharded_step(mesh1, scfg, n_steps=300)
             sh, ms = stepn(sh)
             float(ms.max_speed)
             t0 = time.perf_counter()
             sh, ms = stepn(sh)
             float(ms.max_speed)
             extra["sph_sharded_1chip_ms"] = round(
-                (time.perf_counter() - t0) / 60 * 1e3, 2)
+                (time.perf_counter() - t0) / 300 * 1e3, 2)
             log(f"SPH sharded(1 chip) base_dam: "
                 f"{extra['sph_sharded_1chip_ms']} ms/step")
         except Exception as e:
@@ -288,10 +302,10 @@ def main():
             s1 = stam.run2d_python(s1, c1, 3, sources=sources)
             float(s1.dens[1, 1])
             t0 = time.perf_counter()
-            s1 = stam.run2d_python(s1, c1, 60, sources=sources)
+            s1 = stam.run2d_python(s1, c1, 400, sources=sources)
             float(s1.dens[1, 1])
             extra["config1_smoke2d_128_ms"] = round(
-                (time.perf_counter() - t0) / 60 * 1e3, 2)
+                (time.perf_counter() - t0) / 400 * 1e3, 2)
 
             for key, kw in (("config2_grid3d_64_ms", {}),
                             ("config4_plume3d_64_ms",
@@ -307,10 +321,10 @@ def main():
                 s3, _ = stam.run3d_python(s3, c, 3)
                 float(jnp.sum(s3.u))
                 t0 = time.perf_counter()
-                s3, _ = stam.run3d_python(s3, c, 60)
+                s3, _ = stam.run3d_python(s3, c, 400)
                 float(jnp.sum(s3.u))
                 extra[key] = round((time.perf_counter() - t0)
-                                   / 60 * 1e3, 2)
+                                   / 400 * 1e3, 2)
             log("BASELINE configs 1/2/4: "
                 + str({k: extra[k] for k in
                        ("config1_smoke2d_128_ms", "config2_grid3d_64_ms",
@@ -358,9 +372,9 @@ def main():
             s512, _ = stam.run3d_python(s512, c512, 2)
             float(jnp.sum(s512.u))
             t0 = time.perf_counter()
-            s512, r512 = stam.run3d_python(s512, c512, 16)
+            s512, r512 = stam.run3d_python(s512, c512, 24)
             float(jnp.sum(s512.u))
-            ms512 = (time.perf_counter() - t0) / 16 * 1e3
+            ms512 = (time.perf_counter() - t0) / 24 * 1e3
             extra["grid512_ms_per_step"] = round(ms512, 1)
             extra["grid512_cell_updates_per_sec"] = round(
                 512 ** 3 / ms512 * 1e3)

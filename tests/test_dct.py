@@ -163,3 +163,22 @@ def test_dct_zg_direct_matches_dense_roundtrip():
                  yp, zp)
     got = stam.dct_solve3d_zg(zg, None, (y_true, z_true))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_dct_radix_levels_match_dense():
+    """radix_levels=2/3 (recursive even-branch split, r5) still solve
+    to roundoff of the dense path at every precision combination the
+    auto default can produce."""
+    import numpy as np
+
+    from tpufluids.grid.stam import _dct_solve_interior
+
+    rng = np.random.default_rng(3)
+    xi = jnp.asarray(rng.standard_normal((32, 32, 32)), jnp.float32)
+    dense = _dct_solve_interior(xi, "highest", 0)
+    scale = float(jnp.max(jnp.abs(dense)))
+    for lv in (1, 2, 3):
+        out = _dct_solve_interior(xi, "highest", 8, lv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   atol=5e-6 * scale,
+                                   err_msg=f"levels={lv}")

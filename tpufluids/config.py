@@ -190,7 +190,10 @@ class SPHConfig:
     # Pallas force-kernel family: "rowblock" (home block = 128
     # consecutive sorted rows — full lane utilization, NO capacity cap,
     # overflow impossible), "column" (one (x,y) grid column per
-    # program, pallas_col_cap-padded tiles), or "auto" (rowblock up to
+    # program, pallas_col_cap-padded tiles), "resident" (unidyn only:
+    # fused two-pass whole-pool-in-VMEM kernel, auto-selected for
+    # unidyn pools <= sph_pallas.RESIDENT_MAX_BYTES when no sharded
+    # drift_fix is in play), or "auto" (rowblock up to
     # ROWBLOCK_MAX_POOL rows, column above — the measured v5e
     # crossover: rowblock wins 4.5/25.1 vs 7.6/28.2 ms/step at
     # 32k/131k uniform fill but loses 156 vs 132 at 524k, where the

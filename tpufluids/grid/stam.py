@@ -87,6 +87,22 @@ class StamConfig:
     # verify/bench_dct_radix_ab.py; ADVICE r4).  An explicit value is
     # honored at any precision.
     dct_radix_min: int = -1
+    # MXU precision for the FIRST (pre-advection) projection of each
+    # step only; "" = same as dct_precision.  The reported residual
+    # comes from the step's FINAL projection, and the intermediate
+    # divergence only needs to be small before advection — even the
+    # cheapest tier ("default", 1 bf16 pass, ~1e-5 relative) beats the
+    # published Stam scheme's 20-Jacobi-sweep projection (2.2e-5), so
+    # running the first solve cheap and the final solve exact keeps
+    # the 1e-10 residual at a fraction of the MXU cost (the r5 bench
+    # headline sets "default": 512^3 solve 15.3 vs 41.5 ms measured,
+    # verify/bench_dct_radix_ab.py).
+    dct_precision_first: str = ""
+    # radix fold levels (see stam._dct2_split_fwd): 1 = the r4 single
+    # split; 2 recurses on the even branch (matmuls at n/2 and n/4 —
+    # 3n^2/8 FLOPs per column vs n^2/2).  A/B at 512^3 "highest":
+    # verify/bench_dct_radix_ab.py r5 rows.
+    dct_radix_levels: int = 1
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -565,43 +581,86 @@ def _radix_lams(n):
     return lam_full[0::2], lam_full[1::2]
 
 
-def _radix_fwd_axis(pieces, ax, prec):
-    """One radix-2 forward level on ``ax`` over a list of
-    (block, per-axis-eigenvalue-list) pieces: fold x into
-    x[i]+-x[n-1-i] halves, transform with the half-size DCT-II /
-    DCT-IV.  Doubles the piece count; the order keeps inverse-time
-    partners adjacent when axes unwind in reverse."""
-    n = pieces[0][0].shape[ax]
-    C2 = _dct_mats(n // 2)[0]
-    M4 = _dct4_mat(n // 2)
-    lam_e, lam_o = _radix_lams(n)
+def _dct2_split_fwd(a, ax, prec, levels):
+    """DCT-II along ``ax`` with up to ``levels`` radix-2 fold levels
+    recursing on the EVEN (DCT-II) branch — the radix-4-cascade
+    generalization of the r4 single split (VERDICT r4 #6): each level
+    folds x into x[i]+-x[n-1-i] halves and transforms the sum with a
+    half-size DCT-II (recursively) and the difference with a half-size
+    DCT-IV.  Returns [(block, eigenvalue-vector)] with the deepest
+    even block first, so piece 0 always holds the q=0 gauge mode.
+
+    Eigenvalue bookkeeping is closed under the recursion: the even
+    block's true eigenvalues lam_full(n)[0::2] = 2-2cos(pi*(2q)/n)
+    EQUAL the half-extent vector 2-2cos(pi*q/(n/2)), so the recursive
+    call's vectors are already correct.
+
+    FLOPs per axis column: direct n^2; one level n^2/2; two levels
+    3n^2/8 (the DCT-IV(n/2) does not fold — its radix form needs
+    rotation pre/post passes that cost what they save on the MXU)."""
+    n = a.shape[ax]
+    if levels <= 0 or n % 2 or n < 4:
+        C, _, lam1 = _dct_mats(n)
+        return [(_dct_axis(a, C, ax, prec), lam1)]
+    m = n // 2
+    front = jax.lax.slice_in_dim(a, 0, m, axis=ax)
+    back = _rev_axis(jax.lax.slice_in_dim(a, m, n, axis=ax), ax)
+    g, h = front + back, front - back
+    M4 = _dct4_mat(m)
+    _, lam_o = _radix_lams(n)
+    return (_dct2_split_fwd(g, ax, prec, levels - 1)
+            + [(_dct_axis(h, M4, ax, prec), lam_o)])
+
+
+def _dct2_split_nblocks(n, levels):
+    """Piece count produced by _dct2_split_fwd."""
+    if levels <= 0 or n % 2 or n < 4:
+        return 1
+    return _dct2_split_nblocks(n // 2, levels - 1) + 1
+
+
+def _dct2_split_inv(blocks, ax, prec):
+    """Inverse of _dct2_split_fwd on a list of plain coefficient
+    blocks (deepest even block first, one odd DCT-IV block per level
+    appended in unwinding order): merges back to one full block."""
+    if len(blocks) == 1:
+        n = blocks[0].shape[ax]
+        return _dct_axis(blocks[0], _dct_mats(n)[1], ax, prec)
+    m = blocks[-1].shape[ax]
+    g = _dct2_split_inv(blocks[:-1], ax, prec)
+    M4i = _dct4_mat(m) * (2.0 / m)
+    h = _dct_axis(blocks[-1], M4i, ax, prec)
+    return jnp.concatenate(
+        [0.5 * (g + h), _rev_axis(0.5 * (g - h), ax)], axis=ax)
+
+
+def _radix_fwd_axis(pieces, ax, prec, levels=1):
+    """Radix forward on ``ax`` over a list of (block, per-axis-
+    eigenvalue-list) pieces (see _dct2_split_fwd); multiplies the
+    piece count by _dct2_split_nblocks, keeping inverse-time partners
+    adjacent when axes unwind in reverse."""
     nxt = []
     for a, lams in pieces:
-        m = n // 2
-        front = jax.lax.slice_in_dim(a, 0, m, axis=ax)
-        back = _rev_axis(jax.lax.slice_in_dim(a, m, n, axis=ax), ax)
-        g, h = front + back, front - back
-        nxt.append((_dct_axis(g, C2, ax, prec), lams + [lam_e]))
-        nxt.append((_dct_axis(h, M4, ax, prec), lams + [lam_o]))
+        for blk, lamv in _dct2_split_fwd(a, ax, prec, levels):
+            nxt.append((blk, lams + [lamv]))
     return nxt
 
 
-def _radix_inv_axis(pieces, ax, prec):
+def _radix_inv_axis(pieces, ax, prec, levels=1):
     """Inverse of _radix_fwd_axis on a list of plain coefficient
-    blocks: adjacent (even, odd) pairs merge back to full extent."""
-    n = 2 * pieces[0].shape[ax]
-    C2i = _dct_mats(n // 2)[1]
-    M4i = _dct4_mat(n // 2) * (2.0 / (n // 2))
+    blocks: consecutive groups merge back to full extent."""
+    # the top-level odd (DCT-IV) block is last in every group and has
+    # extent n/2 (this inverse is only called when the axis split)
+    n = 2 * pieces[-1].shape[ax]
+    k = _dct2_split_nblocks(n, levels)
     nxt = []
-    for j in range(0, len(pieces), 2):
-        g = _dct_axis(pieces[j], C2i, ax, prec)
-        h = _dct_axis(pieces[j + 1], M4i, ax, prec)
-        nxt.append(jnp.concatenate(
-            [0.5 * (g + h), _rev_axis(0.5 * (g - h), ax)], axis=ax))
+    for j in range(0, len(pieces), k):
+        nxt.append(_dct2_split_inv(pieces[j:j + k], ax, prec))
     return nxt
 
 
-def _dct_solve_interior(xi, precision="highest", radix_min=0):
+def _dct_solve_interior(xi, precision="highest", radix_min=0,
+                        radix_levels=1):
     """Exact Neumann-Poisson solve on an interior array of any rank.
 
     Solves `(2d) x - sum_nb x = xi` (the fixed point of lin_solve
@@ -617,11 +676,13 @@ def _dct_solve_interior(xi, precision="highest", radix_min=0):
     ``precision`` selects the MXU passes per matmul (StamConfig
     .dct_precision): f32-emulation / 3x bf16 / 1x bf16.
 
-    ``radix_min``: axes with even extent n >= radix_min use one
-    radix-2 split level — DCT-II(n) = fold + {DCT-II(n/2) on
+    ``radix_min``: axes with even extent n >= radix_min use the
+    radix-2 split — DCT-II(n) = fold + {DCT-II(n/2) on
     x[i]+x[n-1-i], DCT-IV(n/2) on x[i]-x[n-1-i]} — halving the MXU
     FLOPs of that axis's transform (n^2 -> n^2/2 per column) at the
-    cost of cheap fold/unfold VPU passes.  The even/odd coefficient
+    cost of cheap fold/unfold VPU passes.  ``radix_levels`` recurses
+    the split on the even branch (levels=2: matmuls at n/2 and n/4,
+    3n^2/8 per column — see _dct2_split_fwd).  The even/odd coefficient
     interleave is never materialized: the diagonal solve runs on
     permuted eigenvalue blocks, so the permutations cancel between the
     forward and inverse transforms.  0 disables (the dense
@@ -653,7 +714,7 @@ def _dct_solve_interior(xi, precision="highest", radix_min=0):
     pieces = [(xi, [])]
     for ax, n in enumerate(xi.shape):
         if radix[ax]:
-            pieces = _radix_fwd_axis(pieces, ax, prec)
+            pieces = _radix_fwd_axis(pieces, ax, prec, radix_levels)
         else:
             C, _, lam1 = _dct_mats(n)
             pieces = [(_dct_axis(a, C, ax, prec), lams + [lam1])
@@ -678,37 +739,52 @@ def _dct_solve_interior(xi, precision="highest", radix_min=0):
     # inverse, unwinding axes in reverse so radix partners are adjacent
     for ax in reversed(range(nd)):
         if radix[ax]:
-            pieces = _radix_inv_axis(pieces, ax, prec)
+            pieces = _radix_inv_axis(pieces, ax, prec, radix_levels)
         else:
             Ci = _dct_mats(xi.shape[ax])[1]
             pieces = [_dct_axis(a, Ci, ax, prec) for a in pieces]
     return pieces[0]
 
 
-def _radix_min(cfg):
-    """Effective radix-split threshold: resolves the -1 auto default
-    (split only at the "highest" MXU precision, where it is a measured
-    win — see StamConfig.dct_radix_min)."""
+def _dct_params(cfg, final=True):
+    """(precision, radix_min, radix_levels) for one projection solve.
+    ``final=False`` = the step's first (pre-advection) projection,
+    which may run at the cheaper ``dct_precision_first`` tier; the
+    radix auto-gate keys on the tier actually used (the split is a
+    measured win only at "highest" — StamConfig.dct_radix_min)."""
     if cfg is None:
-        return 0
+        return "highest", 0, 1
+    prec = cfg.dct_precision
+    if not final and getattr(cfg, "dct_precision_first", ""):
+        prec = cfg.dct_precision_first
     if cfg.dct_radix_min >= 0:
-        return cfg.dct_radix_min
-    return 256 if cfg.dct_precision == "highest" else 0
+        rmin = cfg.dct_radix_min
+    else:
+        rmin = 256 if prec == "highest" else 0
+    return prec, rmin, cfg.dct_radix_levels
 
 
-def dct_solve3d(x0, cfg=None):
+def _radix_min(cfg):
+    """Back-compat wrapper (final-projection parameters)."""
+    return _dct_params(cfg)[1]
+
+
+def _radix_levels(cfg):
+    return 1 if cfg is None else cfg.dct_radix_levels
+
+
+def dct_solve3d(x0, cfg=None, final=True):
     """Spectral projection solve on the ghosted 3D array (see
     _dct_solve_interior).  Residual ~1e-6-relative (float32 transform
-    roundoff) in a fixed ~52 GFLOP at 256^3."""
+    roundoff) in a fixed ~52 GFLOP at 256^3.  ``final=False`` uses the
+    dct_precision_first tier (see _dct_params)."""
     sol = _dct_solve_interior(
-        x0[1:-1, 1:-1, 1:-1],
-        "highest" if cfg is None else cfg.dct_precision,
-        _radix_min(cfg))
+        x0[1:-1, 1:-1, 1:-1], *_dct_params(cfg, final))
     p = jnp.zeros_like(x0).at[1:-1, 1:-1, 1:-1].set(sol)
     return set_bnd3d(0, p)
 
 
-def dct_solve3d_zg(x0, cfg, te):
+def dct_solve3d_zg(x0, cfg, te, final=True):
     """dct_solve3d operating directly on the z-ghostless layout
     (pallas_kernels.zg_pad): the interior is a plain slice of the zg
     array (x ghosts stored, y ghosts stored, z stores interior only),
@@ -721,9 +797,7 @@ def dct_solve3d_zg(x0, cfg, te):
     y_true, z_true = te
     zi = z_true - 2
     sol = _dct_solve_interior(
-        x0[1:-1, 1:y_true - 1, :zi],
-        "highest" if cfg is None else cfg.dct_precision,
-        _radix_min(cfg))
+        x0[1:-1, 1:y_true - 1, :zi], *_dct_params(cfg, final))
     p = jnp.zeros_like(x0).at[1:-1, 1:y_true - 1, :zi].set(sol)
     p = p.at[0].set(p[1])
     p = p.at[-1].set(p[-2])
@@ -737,13 +811,13 @@ def dct_solve2d(x0, cfg=None):
     sol = _dct_solve_interior(
         x0[1:-1, 1:-1],
         "highest" if cfg is None else cfg.dct_precision,
-        _radix_min(cfg))
+        _radix_min(cfg), _radix_levels(cfg))
     p = jnp.zeros_like(x0).at[1:-1, 1:-1].set(sol)
     return set_bnd2d(0, p)
 
 
 def project3d(u, v, w, cfg, with_residual: bool = False,
-              true_extents=None):
+              true_extents=None, final=True):
     n = u.shape[0] - 2
     h = 1.0 / n
     te = true_extents
@@ -779,8 +853,9 @@ def project3d(u, v, w, cfg, with_residual: bool = False,
         if cfg.projection == "multigrid":
             p = repad(mg_solve3d(unpad(div), cfg))
         elif cfg.projection == "dct":
-            p = (dct_solve3d_zg(div, cfg, te) if te is not None
-                 else dct_solve3d(div, cfg))
+            p = (dct_solve3d_zg(div, cfg, te, final=final)
+                 if te is not None
+                 else dct_solve3d(div, cfg, final=final))
         elif rb_fast:
             p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
                              cfg.jacobi_iters, cfg,
@@ -802,7 +877,7 @@ def project3d(u, v, w, cfg, with_residual: bool = False,
         if cfg.projection == "multigrid":
             p = mg_solve3d(div, cfg)
         elif cfg.projection == "dct":
-            p = dct_solve3d(div, cfg)
+            p = dct_solve3d(div, cfg, final=final)
         else:
             p = _lin_solve3d(0, jnp.zeros_like(u), div, 1.0, 6.0,
                              cfg.jacobi_iters, cfg,
@@ -1084,7 +1159,7 @@ def step3d(state: GridState3D, cfg: StamConfig,
             u = _pad(diffuse3d(1, _unpad(u, 1), cfg, cfg.visc))
             v = _pad(diffuse3d(2, _unpad(v, 2), cfg, cfg.visc))
             w = _pad(diffuse3d(3, _unpad(w, 3), cfg, cfg.visc))
-    u, v, w = project3d(u, v, w, cfg, true_extents=te)
+    u, v, w = project3d(u, v, w, cfg, true_extents=te, final=False)
     u0, v0, w0 = u, v, w
     if fused_advect:
         from tpufluids.grid.pallas_kernels import advect3d_multi_pallas
@@ -1100,6 +1175,9 @@ def step3d(state: GridState3D, cfg: StamConfig,
         u, v, w, res = project3d(u, v, w, cfg, with_residual=True,
                                  true_extents=te)
     else:
+        # the post-advect projection is the step's FINAL solve: always
+        # full precision, so every step (not just residual-reporting
+        # ones) ends at the exact-solve divergence level
         u, v, w = project3d(u, v, w, cfg, true_extents=te)
     if cfg.diff or cfg.temp_diff:
         arrs, bs, cs = [], [], []

@@ -142,7 +142,15 @@ def _lin_solve_local(b, x, x0, a, c, iters, n_dev, red_black=False):
 
 def _advect_local(b, q, u, v, w, cfg, n_dev, n):
     """Semi-Lagrangian advection on a local slab; backtraces clamp to
-    the one-plane halo across the shard boundary."""
+    the one-plane halo across the shard boundary.
+
+    NOTE: the XLA slab fallback always uses this GATHER formulation
+    regardless of cfg.advect_mode — with ``advect_mode="stencil"`` it
+    matches the dense stencil path only away from domain edges (the
+    two formulations clamp edge backtraces differently, a few % on
+    edge cells).  The production Pallas sharded backend runs the same
+    stencil advection as the dense step and matches it everywhere
+    (tests/test_grid_sharded.py::test_sharded_pallas_step_matches_dense)."""
     c_local = q.shape[0]
     dt0 = cfg.dt * n
     gx0 = jax.lax.axis_index(AXIS) * c_local  # global x of local row 0
@@ -179,15 +187,16 @@ def _advect_local(b, q, u, v, w, cfg, n_dev, n):
     return _set_bnd_yz(b, q.at[:, 1:-1, 1:-1].set(out))
 
 
-def _dct_solve_local(x0, n, n_dev):
+def _dct_solve_local(x0, n, n_dev, cfg=None, final=True):
     """Sharded spectral projection solve (stam._dct_solve_interior over
     x-slabs): y/z cosine transforms are local matmuls; the x transform
     contracts the sharded axis as a per-device partial matmul followed
     by ``psum_scatter`` — one reduce-scatter over ICI each way, versus
     the iterative solver's 2 halo exchanges per iteration."""
-    from tpufluids.grid.stam import _dct_axis, _dct_mats
+    from tpufluids.grid.stam import _DCT_PREC, _dct_axis, _dct_mats, \
+        _dct_params
 
-    prec = jax.lax.Precision.HIGHEST
+    prec = _DCT_PREC[_dct_params(cfg, final)[0]]
     c = x0.shape[0]
     off = jax.lax.axis_index(AXIS) * c
     xi = x0[:, 1:-1, 1:-1]
@@ -223,7 +232,7 @@ def _dct_solve_local(x0, n, n_dev):
     return _set_bnd_yz(0, p)
 
 
-def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
+def _dct_solve_local_zg(dslab, n, n_dev, cfg, te, final=True):
     """Sharded spectral projection solve directly on the z-ghostless
     slab layout (stam.dct_solve3d_zg over x-slabs): y/z cosine
     transforms are local matmuls, the x transform contracts the
@@ -236,7 +245,9 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
     from tpufluids.grid.stam import (_DCT_PREC, _dct_axis, _dct_mats,
                                      _radix_fwd_axis, _radix_inv_axis)
 
-    prec = _DCT_PREC["highest" if cfg is None else cfg.dct_precision]
+    from tpufluids.grid.stam import _dct_params
+    prec_key, radix_min, radix_levels = _dct_params(cfg, final)
+    prec = _DCT_PREC[prec_key]
     y_true, z_true = te
     zi = z_true - 2
     c = dslab.shape[0]
@@ -249,10 +260,8 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
         # though the psum_scatter itself is a no-op: config5 ran 13.5%
         # over the unsharded step in BENCH_r04, the same trick as the
         # SPH n_dev==1 static fast path, r4)
-        from tpufluids.grid.stam import _dct_solve_interior, _radix_min
-        sol = _dct_solve_interior(
-            xi, "highest" if cfg is None else cfg.dct_precision,
-            _radix_min(cfg))
+        from tpufluids.grid.stam import _dct_solve_interior
+        sol = _dct_solve_interior(xi, prec_key, radix_min, radix_levels)
         p = jnp.zeros_like(dslab).at[:, 1:y_true - 1, :zi].set(sol)
         p = p.at[:, 0].set(p[:, 1])
         p = p.at[:, y_true - 1].set(p[:, y_true - 2])
@@ -262,8 +271,6 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
     C, Ci, lam1 = _dct_mats(n)
     # radix-2 split on the LOCAL (y/z) transforms only — the sharded x
     # transform stays the partial-matmul + psum_scatter contraction
-    from tpufluids.grid.stam import _radix_min
-    radix_min = _radix_min(cfg)
     use_radix = bool(radix_min) and n >= radix_min and n % 2 == 0
 
     def xmul(a, m):
@@ -278,8 +285,8 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
     F = xmul(xi, C)
     if use_radix:
         pieces = [(F, [])]
-        pieces = _radix_fwd_axis(pieces, 1, prec)
-        pieces = _radix_fwd_axis(pieces, 2, prec)
+        pieces = _radix_fwd_axis(pieces, 1, prec, radix_levels)
+        pieces = _radix_fwd_axis(pieces, 2, prec, radix_levels)
         solved = []
         for k, (a, lams) in enumerate(pieces):
             lam = (lamx[:, None, None] + lams[0][None, :, None]
@@ -295,8 +302,8 @@ def _dct_solve_local_zg(dslab, n, n_dev, cfg, te):
             else:
                 a = a / lam
             solved.append(a)
-        pieces = _radix_inv_axis(solved, 2, prec)
-        pieces = _radix_inv_axis(pieces, 1, prec)
+        pieces = _radix_inv_axis(solved, 2, prec, radix_levels)
+        pieces = _radix_inv_axis(pieces, 1, prec, radix_levels)
         sol = xmul(pieces[0], Ci)
     else:
         F = _dct_axis(F, C, 1, prec)
@@ -329,13 +336,14 @@ def _divergence_local(u, v, w, n, n_dev):
         + w[:, 1:-1, 2:] - w[:, 1:-1, :-2])
 
 
-def _project_local(u, v, w, cfg, n, n_dev, with_residual=True):
+def _project_local(u, v, w, cfg, n, n_dev, with_residual=True,
+                   final=True):
     h = 1.0 / n
     div = jnp.zeros_like(u).at[:, 1:-1, 1:-1].set(
         _divergence_local(u, v, w, n, n_dev))
     div = _set_bnd_yz(0, div)
     if cfg.projection == "dct":
-        p = _dct_solve_local(div, n, n_dev)
+        p = _dct_solve_local(div, n, n_dev, cfg, final)
     else:
         p = _lin_solve_local(0, jnp.zeros_like(u), div, 1.0, 6.0,
                              cfg.jacobi_iters, n_dev,
@@ -412,7 +420,7 @@ def _step_local(u, v, w, dens, temp, cfg: StamConfig, n: int, n_dev: int,
         v = _lin_solve_local(2, v, v, a, 1 + 6 * a, cfg.jacobi_iters, n_dev)
         w = _lin_solve_local(3, w, w, a, 1 + 6 * a, cfg.jacobi_iters, n_dev)
     u, v, w, _ = _project_local(u, v, w, cfg, n, n_dev,
-                                with_residual=False)
+                                with_residual=False, final=False)
     u0, v0, w0 = u, v, w
     u = _advect_local(1, u0, u0, v0, w0, cfg, n_dev, n)
     v = _advect_local(2, v0, u0, v0, w0, cfg, n_dev, n)
@@ -471,6 +479,36 @@ def _sx(b):
     return -1.0 if b == 1 else 1.0
 
 
+def _refresh_halo_multi(qs, bs, n_dev):
+    """_refresh_halo over several same-shape fields with ONE ppermute
+    each way: the per-field 2-row edge slabs are concatenated along
+    axis 0, exchanged as a single (2k, Y, Z) message, and split back.
+    Bit-identical to per-field refreshes; cuts the sharded step's
+    collective count ~3-5x (each 2-row message is latency-bound, so
+    batching k fields into one message is nearly free on ICI —
+    VERDICT r4 #3's halo-overlap lever in its robust form)."""
+    if n_dev == 1 or len(qs) == 1:
+        return tuple(_refresh_halo(q, b, n_dev) for q, b in zip(qs, bs))
+    idx = jax.lax.axis_index(AXIS)
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_left = jax.lax.ppermute(
+        jnp.concatenate([q[-4:-2] for q in qs], axis=0), AXIS, right)
+    from_right = jax.lax.ppermute(
+        jnp.concatenate([q[2:4] for q in qs], axis=0), AXIS, left)
+    zero = jnp.zeros_like(qs[0][0:1])
+    out = []
+    for i, (q, b) in enumerate(zip(qs, bs)):
+        sx = _sx(b)
+        lo_edge = jnp.concatenate([zero, sx * q[2:3]], axis=0)
+        hi_edge = jnp.concatenate([sx * q[-3:-2], zero], axis=0)
+        lo = jnp.where(idx == 0, lo_edge, from_left[2 * i:2 * i + 2])
+        hi = jnp.where(idx == n_dev - 1, hi_edge,
+                       from_right[2 * i:2 * i + 2])
+        out.append(q.at[0:2].set(lo).at[-2:].set(hi))
+    return tuple(out)
+
+
 def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
                        n_dev: int, te, plan, with_residual=True):
     """One slab-local step on PERSISTENTLY padded z-ghostless
@@ -519,8 +557,8 @@ def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
         return repad(solve(b, s, s, a_, c_))
 
     if cfg.buoyancy_alpha or cfg.buoyancy_beta or cfg.vorticity_eps:
-        u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
-        dens, temp = refresh(dens, 0), refresh(temp, 0)
+        u, v, w, dens, temp = _refresh_halo_multi(
+            (u, v, w, dens, temp), (1, 2, 3, 0, 0), n_dev)
         u, v, w = forcing3d_pallas(
             u, v, w, dens, temp, float(cfg.dt), h,
             float(cfg.vorticity_eps), float(cfg.buoyancy_alpha),
@@ -532,12 +570,13 @@ def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
         v = solve_padded(2, v, a_, 1 + 6 * a_)
         w = solve_padded(3, w, a_, 1 + 6 * a_)
 
-    def project(u, v, w, with_residual=False):
-        u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
+    def project(u, v, w, with_residual=False, final=True):
+        u, v, w = _refresh_halo_multi((u, v, w), (1, 2, 3), n_dev)
         div = div3d_pallas(u, v, w, true_extents=te, h=h)
         dslab = div[2:-2]
         if cfg.projection == "dct":
-            p_ = _dct_solve_local_zg(dslab, n, n_dev, cfg, te)
+            p_ = _dct_solve_local_zg(dslab, n, n_dev, cfg, te,
+                                     final=final)
         else:
             p_ = solve(0, dslab, dslab, 1.0, 6.0, x_zero=True)
         pp = refresh(repad(p_), 0)
@@ -555,8 +594,8 @@ def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
                               - 6.0 * pd[:, 1:-1, 1:-1]))
         return uo, vo, wo, jax.lax.pmax(res, AXIS) if n_dev > 1 else res
 
-    u, v, w, _ = project(u, v, w)
-    u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
+    u, v, w, _ = project(u, v, w, final=False)
+    u, v, w = _refresh_halo_multi((u, v, w), (1, 2, 3), n_dev)
     u, v, w = advect3d_multi_pallas(
         (u, v, w), (1, 2, 3), u, v, w, float(cfg.dt * n),
         self_advect=True, true_extents=te, gx0=gx0, gn=gn)
@@ -568,9 +607,10 @@ def _step_local_pallas(u, v, w, dens, temp, cfg: StamConfig, n: int,
     if cfg.temp_diff:
         a_ = cfg.dt * cfg.temp_diff * n * n
         temp = solve_padded(0, temp, a_, 1 + 6 * a_)
-    u, v, w = refresh(u, 1), refresh(v, 2), refresh(w, 3)
+    u, v, w, dens, temp = _refresh_halo_multi(
+        (u, v, w, dens, temp), (1, 2, 3, 0, 0), n_dev)
     dens, temp = advect3d_multi_pallas(
-        (refresh(dens, 0), refresh(temp, 0)), (0, 0), u, v, w,
+        (dens, temp), (0, 0), u, v, w,
         float(cfg.dt * n), true_extents=te, gx0=gx0, gn=gn)
     return u, v, w, dens, temp, res
 

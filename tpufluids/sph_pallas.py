@@ -1342,6 +1342,200 @@ def base_forces_rowblock(state: ParticleState, bt: BinTable,
     return res[:, 0], res[:, 1:4], jnp.zeros((), jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# whole-pool-VMEM-resident fused unidyn kernel: for pools that fit in
+# VMEM (the reference tank is 14k rows x 512 B = 7.3 MB), BOTH passes
+# run inside ONE pallas_call — the packed pool streams to VMEM once,
+# pass A's drift velocities are spliced into the resident pool's
+# _SDV/_FDV columns between the sweeps (pass A never reads those
+# columns, so in-place splicing during sweep 1 is safe), and pass B
+# reads them straight from VMEM.  This removes the second dispatch,
+# the inter-pass HBM round trip (res_a write + order gather + packed_b
+# splice + reload) and all per-window HBM re-streaming — the
+# deterministic two-pass resolution of the reference's single-kernel
+# atomic read-write race (FluidGPU-unidyn.cu:314-401) at close to
+# single-pass cost.  Single-device only (the sharded step's drift_fix
+# hook needs the passes split at the XLA level).
+
+RESIDENT_MAX_BYTES = 48 * 1024 * 1024   # pool VMEM budget for the tier
+
+
+def _resident_prologue(pool, col_start, blk, cfg, rb, gx, gy):
+    """_rowblock_prologue twin on the VMEM-resident pool (no DMA)."""
+    hmT = pool[pl.ds(blk, rb)].T
+    i_valid = hmT[_ALIVE, :][None, :] > 0.5
+    cs = jnp.float32(cfg.cell_size)
+    cyi = jnp.floor((hmT[_X + 1, :][None, :] - cfg.ymin) / cs)
+    big = jnp.float32(1e9)
+    cy_min = jnp.min(jnp.where(i_valid, cyi, big)).astype(jnp.int32)
+    cy_max = jnp.max(jnp.where(i_valid, cyi, -big)).astype(jnp.int32)
+
+    def plane_body(xr, lohi):
+        lo, hi = lohi
+        inter = ((col_start[(xr + 1) * gy] > blk)
+                 & (col_start[xr * gy] < blk + rb))
+        return (jnp.where(inter, jnp.minimum(lo, xr), lo),
+                jnp.where(inter, jnp.maximum(hi, xr), hi))
+
+    cx_min, cx_max = jax.lax.fori_loop(
+        0, gx, plane_body, (jnp.int32(gx), jnp.int32(-1)))
+    return hmT, i_valid, cx_min, cx_max, cy_min, cy_max
+
+
+def _resident_sweep(col_start, pool, body_fn, acc0, cx_min, cx_max,
+                    cy_min, cy_max, *, gx, gy, ch):
+    """_rowblock_sweep twin reading candidate chunks straight from the
+    VMEM-resident pool (no DMA pipeline to software-schedule)."""
+    c_lo_y = jnp.maximum(cy_min - 1, 0)
+    c_hi_y = jnp.minimum(cy_max + 1, gy - 1)
+    xr_lo = jnp.maximum(cx_min - 1, 0)
+    xr_hi = jnp.minimum(cx_max + 1, gx - 1)
+
+    def row_body(xr, acc):
+        start = col_start[xr * gy + c_lo_y]
+        nrows = col_start[xr * gy + c_hi_y + 1] - start
+        nc = (nrows + ch - 1) // ch
+
+        def chunk(k, acc):
+            wj = pool[pl.ds(start + k * ch, ch)]
+            return body_fn(acc, wj, jnp.clip(nrows - k * ch, 0, ch),
+                           None)
+
+        return jax.lax.fori_loop(0, nc, chunk, acc)
+
+    return jax.lax.fori_loop(xr_lo, xr_hi + 1, row_body, acc0)
+
+
+def _unidyn_resident_kernel(col_start, packed_hbm, out_a_hbm, out_b_hbm,
+                            pool, otile, sems, *, gx, gy, ch,
+                            cfg: SPHConfig, rb, nb,
+                            subbin_threshold=None):
+    cp = pltpu.make_async_copy(packed_hbm, pool, sems.at[2])
+    cp.start()
+    cp.wait()
+    total = col_start[gx * gy]
+
+    def write_out(acc, blk, out_hbm):
+        otile[...] = jnp.concatenate(
+            [acc.T, jnp.zeros((rb, F - acc.shape[0]), jnp.float32)],
+            axis=1)
+        ocp = pltpu.make_async_copy(otile, out_hbm.at[pl.ds(blk, rb)],
+                                    sems.at[0])
+        ocp.start()
+        ocp.wait()
+
+    def pass_a_block(q, c):
+        blk = q * rb
+
+        @pl.when(blk < total)
+        def _():
+            hmT, i_valid, cx0, cx1, cy0, cy1 = _resident_prologue(
+                pool, col_start, blk, cfg, rb, gx, gy)
+            body = _make_unidyn_a_body(hmT, i_valid, cfg,
+                                       subbin_threshold, xy_cells=True)
+            acc = _resident_sweep(col_start, pool, body,
+                                  _unidyn_a_acc0(rb, cfg),
+                                  cx0, cx1, cy0, cy1,
+                                  gx=gx, gy=gy, ch=ch)
+            write_out(acc, blk, out_a_hbm)
+            # splice this block's drift velocities into the resident
+            # pool (columns _SDV.._FDV+2); pass A reads nothing in
+            # that column range, so later blocks' sweeps are unaffected
+            blkrows = pool[pl.ds(blk, rb)]
+            drift = jnp.concatenate(
+                [acc[_A_SDV:_A_SDV + 3].T, acc[_A_FDV:_A_FDV + 3].T],
+                axis=1)                                     # (rb, 6)
+            pool[pl.ds(blk, rb)] = jnp.concatenate(
+                [blkrows[:, :_SDV], drift, blkrows[:, _SDV + 6:]],
+                axis=1)
+
+        return c
+
+    def pass_b_block(q, c):
+        blk = q * rb
+
+        @pl.when(blk < total)
+        def _():
+            hmT, i_valid, cx0, cx1, cy0, cy1 = _resident_prologue(
+                pool, col_start, blk, cfg, rb, gx, gy)
+            body = _make_unidyn_b_body(hmT, i_valid, cfg,
+                                       subbin_threshold, xy_cells=True)
+            acc = _resident_sweep(col_start, pool, body,
+                                  jnp.zeros((_B_ROWS, rb), jnp.float32),
+                                  cx0, cx1, cy0, cy1,
+                                  gx=gx, gy=gy, ch=ch)
+            write_out(acc, blk, out_b_hbm)
+
+        return c
+
+    jax.lax.fori_loop(0, nb, pass_a_block, 0)
+    jax.lax.fori_loop(0, nb, pass_b_block, 0)
+
+
+def unidyn_forces_resident(state: ParticleState, bt: BinTable,
+                           cfg: SPHConfig, order=None,
+                           subbin_threshold=None, w_chunk: int = 32,
+                           rb: int = RB, grid=None):
+    """Fused two-pass unidyn forces for VMEM-resident pools (see the
+    section comment above); same result dict as unidyn_forces_pallas,
+    overflow always 0 (row blocks have no capacity cap).  No
+    ``drift_fix`` hook — single-device/full-cube only."""
+    gx, gy = _grid_extents(cfg, grid)
+    n = state.capacity
+    ch = w_chunk or 32
+    pad = max(rb, ch)
+    if (n + pad) * F * 4 > RESIDENT_MAX_BYTES:
+        raise ValueError(
+            f"pool of {n} rows does not fit the resident tier "
+            f"({(n + pad) * F * 4} > {RESIDENT_MAX_BYTES} bytes)")
+    packed = _pack_unidyn_by_order(state, order, bt, pad, cfg)
+    col_start = bt.cell_start[0:gx * gy * gy + 1:gy]
+    nb = (n + rb - 1) // rb
+    kern = functools.partial(_unidyn_resident_kernel, gx=gx, gy=gy,
+                             ch=ch, cfg=cfg, rb=rb, nb=nb,
+                             subbin_threshold=subbin_threshold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM(packed.shape, jnp.float32),
+            pltpu.VMEM((rb, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out_a, out_b = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(packed.shape, jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(col_start.astype(jnp.int32), packed)
+    res_a = _rows_to_particle(out_a, bt, n, order)
+    res_b = _rows_to_particle(out_b, bt, n, order)
+
+    dens = state.dens
+    return dict(
+        sum_w=res_a[:, _A_SUMW],
+        dpress=res_a[:, _A_DP:_A_DP + 3],
+        diffusion=res_a[:, _A_DIFF:_A_DIFF + 3],
+        vel_grad=(res_a[:, _A_VG:_A_VG + 9]
+                  / dens[:, None]).reshape(n, 3, 3),
+        stress_accel=res_a[:, _A_SA:_A_SA + 3] / (dens * dens)[:, None],
+        solid_drift=res_a[:, _A_SDV:_A_SDV + 3],
+        fluid_drift=res_a[:, _A_FDV:_A_FDV + 3],
+        mixture_accel=res_b[:, _B_MA:_B_MA + 3],
+        delsolid=res_b[:, _B_DSOL],
+        delfluid=res_b[:, _B_DFLU],
+        has_pair=res_a[:, _A_CNT] > 0,
+        merge_partner=_extract_merge_partner(res_a, cfg, n),
+        overflow=jnp.zeros((), jnp.int32),
+    )
+
+
 def unidyn_forces_rowblock(state: ParticleState, bt: BinTable,
                            cfg: SPHConfig, order=None,
                            w_chunk: int = 32, drift_fix=None,

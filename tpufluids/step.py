@@ -141,10 +141,24 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
         return acc, kovf
     if use_pallas:
         from tpufluids.forces import accum_from_pallas
-        from tpufluids.sph_pallas import (unidyn_forces_pallas,
+        from tpufluids.sph_pallas import (F, RESIDENT_MAX_BYTES,
+                                          unidyn_forces_pallas,
+                                          unidyn_forces_resident,
                                           unidyn_forces_rowblock)
         st = cfg.subbin_threshold if subbin_parity else None
-        if rowblock:
+        pad = max(128, cfg.pallas_w_chunk or 32)
+        if (cfg.pallas_kernel in ("auto", "resident")
+                and drift_fix is None
+                and (state.capacity + pad) * F * 4 <= RESIDENT_MAX_BYTES):
+            # fused two-pass kernel for VMEM-resident pools (both
+            # sweeps in one pallas_call; unidyn_tank 5.0 -> see
+            # verify/bench_unidyn_parts.py r5 rows); the sharded step's
+            # drift_fix hook needs the passes split, so it keeps the
+            # two-call families
+            r = unidyn_forces_resident(state, bt, cfg, order=order,
+                                       subbin_threshold=st, grid=grid,
+                                       w_chunk=cfg.pallas_w_chunk)
+        elif rowblock:
             r = unidyn_forces_rowblock(
                 state, bt, cfg, order=order,
                 w_chunk=cfg.pallas_w_chunk, drift_fix=drift_fix,

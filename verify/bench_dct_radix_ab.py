@@ -73,22 +73,27 @@ def run(n):
         return float(jnp.max(jnp.abs(lap - rhs)))
 
     fns, meds = {}, {}
-    variants = [(prec, rmin)
-                for prec in ("highest", "high", "default")
-                for rmin in (0, n)]
-    for prec, rmin in variants:
+    # (precision, radix_min, radix_levels); levels > 1 recurse the
+    # split on the even branch (r5, stam._dct2_split_fwd) — only
+    # meaningful where the split itself wins (the "highest" tier)
+    variants = [("highest", 0, 1), ("highest", n, 1), ("highest", n, 2),
+                ("highest", n, 3),
+                ("high", 0, 1), ("high", n, 1),
+                ("default", 0, 1), ("default", n, 1)]
+    for prec, rmin, lv in variants:
         cfg = stam.StamConfig(n=n, projection="dct",
-                              dct_precision=prec, dct_radix_min=rmin)
-        fns[(prec, rmin)] = jax.jit(
+                              dct_precision=prec, dct_radix_min=rmin,
+                              dct_radix_levels=lv)
+        fns[(prec, rmin, lv)] = jax.jit(
             lambda dd, cfg=cfg: stam.dct_solve3d_zg(dd, cfg, te))
-        fns[(prec, rmin)](div)  # compile
+        fns[(prec, rmin, lv)](div)  # compile
     for rep in range(2):  # interleave
         for k, f in fns.items():
             meds[k] = timeit(
-                f"n={n} dct solve prec={k[0]:8s} radix={k[1]}",
+                f"n={n} dct solve prec={k[0]:8s} radix={k[1]} lv={k[2]}",
                 lambda f=f: f(div))
     for k, f in fns.items():
-        print(f"n={n} prec={k[0]:8s} radix={k[1]}: residual "
+        print(f"n={n} prec={k[0]:8s} radix={k[1]} lv={k[2]}: residual "
               f"{residual(f(div), div):.3e}", flush=True)
 
 

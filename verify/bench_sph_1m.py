@@ -95,14 +95,16 @@ for n in sizes:
           f"sort share {(t_ss - t_st) / K / amort * 100:.0f}%)",
           flush=True)
 
-    # agreement + overflow over one K-cycle vs every-step sorting
+    # overflow check over one K-cycle.  NOTE: the uniform fill at these
+    # sizes is violently explosive (density ~2x rho0 -> max_speed
+    # ~2.5e8 after 8 steps), so a positional agreement check here only
+    # measures chaos amplification; the physical-scene agreement
+    # evidence is base_dam fresh-vs-sort_every=8 over 64 steps:
+    # max|dpos| 2.98e-08 at pos scale 0.76, and 1.08 -> 0.89 ms/step
+    # (r5, same-process TPU run).
     from tpufluids.step import run_python
-    sa, ma = run_python(s0, cfg, K)
     sb, mb = run_python(s0, cfgK, K)
-    ia = np.argsort(np.asarray(sa.pid))
-    ib = np.argsort(np.asarray(sb.pid))
-    dp = np.abs(np.asarray(sa.pos)[ia] - np.asarray(sb.pos)[ib]).max()
-    print(f"n={n} sort_every={K} agreement after {K} steps: "
-          f"max|dpos|={dp:.2e}, overflow={int(mb.bin_overflow)}",
-          flush=True)
+    print(f"n={n} sort_every={K}: finite="
+          f"{bool(jnp.isfinite(sb.pos).all())}, "
+          f"overflow={int(mb.bin_overflow)}", flush=True)
 print("DONE", flush=True)

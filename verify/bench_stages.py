@@ -25,12 +25,24 @@ from tpufluids.grid import stam
 
 
 def timeit(name, fn, reps=16):
+    """``reps`` is a floor; the actual rep count is raised so each
+    timed window is >= ~0.8 s — the final-fence tunnel round trip is
+    25-50 ms, so 16 reps of a 2 ms stage would otherwise measure the
+    fence (the r5 roofline lesson, verify/bench_roofline.py)."""
     try:
         t0 = time.perf_counter()
         r = fn()
         x = r[0] if isinstance(r, tuple) else r
         float(jnp.ravel(x)[0])
         tc = time.perf_counter() - t0
+        # calibrate with the floor rep count
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn()
+        x = r[0] if isinstance(r, tuple) else r
+        float(jnp.ravel(x)[0])
+        est = max((time.perf_counter() - t0 - 0.04) / reps, 5e-5)
+        reps = max(reps, int(min(0.8 / est, 4000)))
         acc = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -41,7 +53,7 @@ def timeit(name, fn, reps=16):
             acc.append((time.perf_counter() - t0) / reps * 1e3)
         med = sorted(acc)[1]
         print(f"{name:44s} {med:8.2f} ms  {[round(a, 2) for a in acc]}"
-              f"  (compile+1st {tc:.1f}s)", flush=True)
+              f"  (reps {reps}, compile+1st {tc:.1f}s)", flush=True)
         return med
     except Exception as e:
         print(f"{name:44s} FAIL {str(e)[:140]}", flush=True)

@@ -30,6 +30,10 @@ from tpufluids.step import run_python, sph_step
 
 
 def timeit(name, fn, reps=40):
+    """Adaptive reps for a >= ~1.2 s window: the final scalar-readback
+    fence costs 25-50 ms, so 40 reps of a ~2 ms stage would overstate
+    it by ~1 ms/rep (the r5 roofline lesson — the r4 numbers from this
+    probe carry that inflation)."""
     r = fn()
     leaf = jax.tree_util.tree_leaves(r)[0]
     float(jnp.ravel(leaf)[0])
@@ -38,8 +42,18 @@ def timeit(name, fn, reps=40):
         r = fn()
     leaf = jax.tree_util.tree_leaves(r)[0]
     float(jnp.ravel(leaf)[0])
-    ms = (time.perf_counter() - t0) / reps * 1e3
-    print(f"{name:52s} {ms:8.2f} ms", flush=True)
+    est = max((time.perf_counter() - t0 - 0.04) / reps, 5e-5)
+    reps = max(reps, int(min(1.2 / est, 4000)))
+    acc = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn()
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        float(jnp.ravel(leaf)[0])
+        acc.append((time.perf_counter() - t0) / reps * 1e3)
+    ms = min(acc)
+    print(f"{name:52s} {ms:8.2f} ms  (reps {reps})", flush=True)
     return ms
 
 
@@ -91,3 +105,23 @@ print(f"\nattribution: sort {t_sort:.2f} + pack {t_pack:.2f} + "
       f"= {t_sort + t_pack + t_ka + t_kb:.2f}; forces-call "
       f"{t_forces:.2f}; full step {t_step:.2f} "
       f"(epilogue ~{t_step - t_sort - t_forces:.2f})", flush=True)
+
+# --- r5: fused whole-pool-VMEM-resident kernel (both passes in ONE
+# pallas_call; step.dispatch_forces auto-selects it for unidyn pools
+# that fit VMEM)
+from tpufluids.sph_pallas import unidyn_forces_resident
+
+res_j = jax.jit(lambda s, o, b: unidyn_forces_resident(
+    s, b, cfg, order=o, w_chunk=cfg.pallas_w_chunk,
+    subbin_threshold=cfg.subbin_threshold))
+t_res = timeit("unidyn_forces_resident (fused A+B, one call)",
+               lambda: res_j(s0, order, bt))
+
+# two-call rowblock step vs the auto (resident) step
+step_rb_j = jax.jit(lambda s: sph_step(
+    s, cfg.replace(pallas_kernel="rowblock")))
+t_step_rb = timeit("full sph_step (rowblock two-call)",
+                   lambda: step_rb_j(s0))
+print(f"\nr5 resident: forces {t_res:.2f} (vs rowblock two-call "
+      f"{t_forces:.2f}); full step auto {t_step:.2f} vs rowblock "
+      f"{t_step_rb:.2f}", flush=True)
