@@ -242,6 +242,10 @@ def main():
             from tpufluids.step import run_python
             for sname, scfg, scene in (("base_dam_8000p", BASE_CONFIG,
                                         base_dam),
+                                       ("base_dam_sort_every8",
+                                        BASE_CONFIG.replace(
+                                            sort_every=8),
+                                        base_dam),
                                        ("unidyn_tank_14040p",
                                         UNIDYN_CONFIG, unidyn_tank),
                                        ("unidyn_tank_merge_on",

@@ -125,11 +125,22 @@ def _sph_kernel(col_start, packed_hbm, out_ref, home, win2, sems, *,
     # empty columns (most of the grid) skip all DMA and pair work
     @pl.when(h_count > 0)
     def _do_column():
-        _column_body(col_start, packed_hbm, out_ref, home, win2, sems,
-                     t=t, cx=cx, cy=cy, h_start=h_start, h_count=h_count,
-                     gx=gx, gy=gy, b=b, w_cap=w_cap, cfg=cfg,
-                     w_chunk=w_chunk, h_chunk=h_chunk, z_skip=z_skip,
-                     xy_cells=xy_cells)
+        if h_chunk and w_chunk:
+            # r5: the home-chunked path always uses the banded sweep
+            # (exact contiguous row ranges; no per-tile lax.cond —
+            # see _column_body_banded; the z_skip flag is subsumed)
+            _column_body_banded(
+                col_start, packed_hbm, out_ref, home, win2, sems,
+                t=t, cx=cx, cy=cy, h_start=h_start, h_count=h_count,
+                gx=gx, gy=gy, b=b, w_cap=w_cap, cfg=cfg,
+                w_chunk=w_chunk, h_chunk=h_chunk, xy_cells=xy_cells)
+        else:
+            _column_body(col_start, packed_hbm, out_ref, home, win2,
+                         sems, t=t, cx=cx, cy=cy, h_start=h_start,
+                         h_count=h_count, gx=gx, gy=gy, b=b,
+                         w_cap=w_cap, cfg=cfg, w_chunk=w_chunk,
+                         h_chunk=h_chunk, z_skip=z_skip,
+                         xy_cells=xy_cells)
 
 
 def _make_base_body(hmT, i_valid, cfg, *, xy_cells=False):
@@ -278,6 +289,112 @@ def _make_base_body_hc(hmT, h_count, b, cfg, hc, z_skip=False,
         return acc + jnp.concatenate(tiles, axis=1)
 
     return window_body
+
+
+def _window_loop_banded(col_start, packed_hbm, cx, cy, win2, sems, *,
+                        gx, gy, w_cap, process, accs):
+    """_window_loop twin whose per-window callback receives the whole
+    slot REF (``process(accs, win_ref, w_count, r)``) instead of
+    per-chunk values — the banded path derives its own chunk ranges."""
+    def rng(r):
+        dx = r // 3 - 1
+        dy = r % 3 - 1
+        nx, ny = cx + dx, cy + dy
+        ok = (nx >= 0) & (nx < gx) & (ny >= 0) & (ny < gy)
+        ncc = jnp.clip(nx * gy + ny, 0, gx * gy - 1)
+        w_start = col_start[ncc]
+        w_count = jnp.minimum(
+            jnp.where(ok, col_start[ncc + 1] - w_start, 0), w_cap)
+        return w_start, w_count
+
+    def copy(slot, w_start):
+        return pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(w_start, w_cap)], win2.at[slot],
+            sems.at[slot])
+
+    w_start, w_count = rng(0)
+    copy(0, w_start).start()
+    for r in range(NCOLS):
+        slot = r % 2
+        if r + 1 < NCOLS:
+            nxt = rng(r + 1)
+            copy(1 - slot, nxt[0]).start()
+        copy(slot, w_start).wait()
+        accs = process(accs, win2.at[slot], w_count, r)
+        if r + 1 < NCOLS:
+            w_start, w_count = nxt
+    return accs
+
+
+def _column_body_banded(col_start, packed_hbm, out_ref, home, win2,
+                        sems, *, t, cx, cy, h_start, h_count, gx, gy, b,
+                        w_cap, cfg, w_chunk, h_chunk, xy_cells=False):
+    """Home-lane-chunked column body with EXACT window row ranges
+    instead of the cond-scanned z-band skip (r5).
+
+    Both the home block and every window are cell-id sorted, so the
+    rows stencil-adjacent to a home chunk's z band [z0, z1] form one
+    CONTIGUOUS window range; counting rows with cz < z0-1 / cz <= z1+1
+    (two batched (w_cap, K) compare+sum passes per window) yields the
+    exact chunk range per home chunk, and the per-tile ``lax.cond``
+    dispatches of the old z_skip path disappear entirely.  That
+    matters more than the pruning itself: a cond costs ~100 ns on this
+    chip even when skipped (measured r5), and the 2M-particle step was
+    issuing ~5M of them — more than its entire pair math.  Results are
+    bitwise identical to the unchunked tiles (skipped tiles would have
+    contributed exact zeros through the |czi-czj| <= 1 pair gate, and
+    edge-chunk extra rows still pass through that gate)."""
+    cp = pltpu.make_async_copy(packed_hbm.at[pl.ds(h_start, b)], home,
+                               sems.at[2])
+    cp.start()
+    cp.wait()
+    hmT = home[...].T
+    hc = h_chunk
+    ch = w_chunk
+    K = b // hc
+    cs = jnp.float32(cfg.cell_size)
+    zmin = jnp.float32(cfg.zmin)
+    bodies, z0s, z1s = [], [], []
+    for k in range(K):
+        hT = hmT[:, k * hc:(k + 1) * hc]
+        i_valid = ((jax.lax.broadcasted_iota(
+            jnp.int32, (1, hc), 1) + k * hc < h_count)
+            & (hT[_ALIVE, :][None, :] > 0.5))
+        czi = jnp.floor((hT[_X + 2, :][None, :] - zmin) / cs)
+        # empty chunks get an inverted band -> empty row range below
+        z0s.append(jnp.min(jnp.where(i_valid, czi, jnp.float32(3e38))))
+        z1s.append(jnp.max(jnp.where(i_valid, czi, jnp.float32(-3e38))))
+        bodies.append(_make_base_body(hT, i_valid, cfg,
+                                      xy_cells=xy_cells))
+    z0v = jnp.stack(z0s).reshape(1, K)
+    z1v = jnp.stack(z1s).reshape(1, K)
+
+    def process(accs, win_ref, w_count, r):
+        zj = jnp.floor((win_ref[:, _X + 2:_X + 3] - zmin) / cs)
+        rv = (jax.lax.broadcasted_iota(jnp.int32, (w_cap, 1), 0)
+              < w_count)
+        lo = jnp.sum((rv & (zj < z0v - 1.0)).astype(jnp.int32), axis=0)
+        hi = jnp.sum((rv & (zj <= z1v + 1.0)).astype(jnp.int32), axis=0)
+        out = []
+        for k in range(K):
+            c0 = lo[k] // ch
+            c1 = (hi[k] + ch - 1) // ch
+
+            def chunk(i, a, k=k):
+                wj = win_ref[pl.ds(i * ch, ch)]
+                cnt = jnp.clip(w_count - i * ch, 0, ch)
+                return bodies[k](a, wj, cnt, r)
+
+            out.append(jax.lax.fori_loop(c0, c1, chunk, accs[k]))
+        return out
+
+    accs = [jnp.zeros((4, hc), jnp.float32) for _ in range(K)]
+    accs = _window_loop_banded(col_start, packed_hbm, cx, cy, win2,
+                               sems, gx=gx, gy=gy, w_cap=w_cap,
+                               process=process, accs=accs)
+    acc = jnp.concatenate(accs, axis=1)                    # (4, b)
+    out_ref[...] = jnp.concatenate(
+        [acc.T, jnp.zeros((b, F - 4), jnp.float32)], axis=1)
 
 
 def _column_body(col_start, packed_hbm, out_ref, home, win2, sems, *,

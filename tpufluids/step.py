@@ -105,12 +105,16 @@ def dispatch_forces(state: ParticleState, bt, cfg: SPHConfig,
                 w_chunk=cfg.pallas_w_chunk, grid=grid,
                 z_skip=zs == 1)
         else:
-            # h_chunk auto (-1): 128 when the column cap exceeds one
-            # lane tile (measured v5e 524k/cap-584: 111.3 vs 127.4
-            # ms/step; verify/bench_sph_hchunk_ab.py), else whole-cap
+            # h_chunk auto (-1): 128 when the column cap is well past
+            # one lane tile — the home-chunked path is the r5 BANDED
+            # sweep (exact window row ranges, no per-tile conds), a
+            # clear win at large caps (524k/cap-584: 111.3 -> 95.2
+            # ms/step) but ~3% behind the whole-tile path at barely-
+            # over-one-tile caps (131k/cap-176: 20.8 vs 21.5 —
+            # verify r5 banded A/B), hence the 192 threshold
             hc = cfg.pallas_h_chunk
             if hc < 0:
-                hc = 128 if cfg.pallas_col_cap > 128 else 0
+                hc = 128 if cfg.pallas_col_cap > 192 else 0
             zs = cfg.pallas_z_skip
             if zs < 0:
                 # auto: on only when the rounded home block spans >= 5

@@ -58,8 +58,8 @@ for n in sizes:
     pack_j = jax.jit(lambda s, o, b: _pack_base_by_order(s, o, b, 128))
     t_pack = timeit(f"n={n} pack_by_order", lambda: pack_j(s0, order, bt))
 
-    hc = 128 if cap > 128 else 0
-    zs = bool(hc and -(-cap // hc) >= 5)  # step.py auto crossover
+    hc = 128 if cap > 192 else 0   # step.py r5 auto threshold
+    zs = bool(hc)  # subsumed by the banded sweep when hc > 0 (r5)
     col_j = jax.jit(lambda s, o, b: base_forces_pallas(
         s, b, cfg, b=cap, w_cap=cap, order=o,
         w_chunk=cfg.pallas_w_chunk, h_chunk=hc, z_skip=zs))
