@@ -255,11 +255,14 @@ def main():
                 s = scene(scfg)
                 s, m = run_python(s, scfg, 2)
                 float(s.pos[0, 0])
-                t0 = time.perf_counter()
-                s, m = run_python(s, scfg, 300)
-                float(s.pos[0, 0])
-                extra[sname + "_ms_per_step"] = round(
-                    (time.perf_counter() - t0) / 300 * 1e3, 2)
+                best = None
+                for _ in range(2):   # min-of-2: congestion spikes
+                    t0 = time.perf_counter()
+                    s, m = run_python(s, scfg, 300)
+                    float(s.pos[0, 0])
+                    dt_ = (time.perf_counter() - t0) / 300 * 1e3
+                    best = dt_ if best is None else min(best, dt_)
+                extra[sname + "_ms_per_step"] = round(best, 2)
                 log(f"SPH {sname}: "
                     f"{extra[sname + '_ms_per_step']} ms/step")
         except Exception as e:
@@ -281,11 +284,14 @@ def main():
             stepn = make_sharded_step(mesh1, scfg, n_steps=300)
             sh, ms = stepn(sh)
             float(ms.max_speed)
-            t0 = time.perf_counter()
-            sh, ms = stepn(sh)
-            float(ms.max_speed)
-            extra["sph_sharded_1chip_ms"] = round(
-                (time.perf_counter() - t0) / 300 * 1e3, 2)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                sh, ms = stepn(sh)
+                float(ms.max_speed)
+                dt_ = (time.perf_counter() - t0) / 300 * 1e3
+                best = dt_ if best is None else min(best, dt_)
+            extra["sph_sharded_1chip_ms"] = round(best, 2)
             log(f"SPH sharded(1 chip) base_dam: "
                 f"{extra['sph_sharded_1chip_ms']} ms/step")
         except Exception as e:
@@ -305,11 +311,14 @@ def main():
             sources = {"dens": src, "fv": fv}
             s1 = stam.run2d_python(s1, c1, 3, sources=sources)
             float(s1.dens[1, 1])
-            t0 = time.perf_counter()
-            s1 = stam.run2d_python(s1, c1, 400, sources=sources)
-            float(s1.dens[1, 1])
-            extra["config1_smoke2d_128_ms"] = round(
-                (time.perf_counter() - t0) / 400 * 1e3, 2)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                s1 = stam.run2d_python(s1, c1, 400, sources=sources)
+                float(s1.dens[1, 1])
+                dt_ = (time.perf_counter() - t0) / 400 * 1e3
+                best = dt_ if best is None else min(best, dt_)
+            extra["config1_smoke2d_128_ms"] = round(best, 2)
 
             for key, kw in (("config2_grid3d_64_ms", {}),
                             ("config4_plume3d_64_ms",
@@ -324,11 +333,14 @@ def main():
                     temp=s3.temp.at[24:40, 24:40, 1:9].set(3.0))
                 s3, _ = stam.run3d_python(s3, c, 3)
                 float(jnp.sum(s3.u))
-                t0 = time.perf_counter()
-                s3, _ = stam.run3d_python(s3, c, 400)
-                float(jnp.sum(s3.u))
-                extra[key] = round((time.perf_counter() - t0)
-                                   / 400 * 1e3, 2)
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    s3, _ = stam.run3d_python(s3, c, 400)
+                    float(jnp.sum(s3.u))
+                    dt_ = (time.perf_counter() - t0) / 400 * 1e3
+                    best = dt_ if best is None else min(best, dt_)
+                extra[key] = round(best, 2)
             log("BASELINE configs 1/2/4: "
                 + str({k: extra[k] for k in
                        ("config1_smoke2d_128_ms", "config2_grid3d_64_ms",
@@ -349,11 +361,14 @@ def main():
                                                    n_steps=seg)
             s5, r5 = step5(s5)
             float(jnp.sum(s5.u))
-            t0 = time.perf_counter()
-            s5, r5 = step5(s5)
-            float(jnp.sum(s5.u))
-            extra["config5_sharded_1chip_ms"] = round(
-                (time.perf_counter() - t0) / seg * 1e3, 2)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                s5, r5 = step5(s5)
+                float(jnp.sum(s5.u))
+                dt_ = (time.perf_counter() - t0) / seg * 1e3
+                best = dt_ if best is None else min(best, dt_)
+            extra["config5_sharded_1chip_ms"] = round(best, 2)
             log(f"config5 sharded(1 chip) {n}^3: "
                 f"{extra['config5_sharded_1chip_ms']} ms/step, "
                 f"residual {float(r5):.3e}")
