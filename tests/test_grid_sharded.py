@@ -282,3 +282,35 @@ def test_sharded_pallas_rejects_odd_slab():
                           advect_mode="stencil")   # c_local = 3
     with pytest.raises(ValueError, match="even per-device slab"):
         grid_sharded.make_sharded_step(mesh, cfg, backend="pallas")
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4])
+def test_refresh_halo_multi_matches_per_field(n_dev):
+    """The batched halo refresh (r5: one 2k-row ppermute per direction
+    for grouped fields) is bitwise identical to per-field refreshes."""
+    import numpy as np
+    from functools import partial
+
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(0)
+    c = 8
+    qs = tuple(jnp.asarray(rng.normal(0, 1, (c + 4, 10, 12)),
+                           jnp.float32) for _ in range(5))
+    bs = (1, 2, 3, 0, 0)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(jax.sharding.PartitionSpec(),) * 5,
+             out_specs=(jax.sharding.PartitionSpec(
+                 grid_sharded.AXIS),) * 10,
+             check_vma=False)
+    def run(*qs):
+        multi = grid_sharded._refresh_halo_multi(qs, bs, n_dev)
+        per = tuple(grid_sharded._refresh_halo(q, b, n_dev)
+                    for q, b in zip(qs, bs))
+        return multi + per
+
+    out = run(*qs)
+    for i in range(5):
+        np.testing.assert_array_equal(np.asarray(out[i]),
+                                      np.asarray(out[5 + i]),
+                                      err_msg=f"field {i}")
