@@ -182,3 +182,35 @@ def test_dct_radix_levels_match_dense():
         np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
                                    atol=5e-6 * scale,
                                    err_msg=f"levels={lv}")
+
+
+def test_dct_precision_first_schedule():
+    """dct_precision_first (r5): the pre-advection solve runs the
+    cheap tier, the post-advect solve stays exact — so per-step
+    residuals stay at the exact-solve level while the fields track the
+    all-highest schedule closely."""
+    import numpy as np
+
+    base = stam.StamConfig(n=32, dt=0.5 / 32, projection="dct",
+                           red_black=True, advect_mode="stencil",
+                           vorticity_eps=1.0, buoyancy_beta=0.5,
+                           buoyancy_alpha=0.05)
+    mixed = base.replace(dct_precision_first="default")
+
+    def run(cfg):
+        s = stam.make_grid3d(cfg)
+        s = s.replace(dens=s.dens.at[12:20, 12:20, 1:5].set(1.0),
+                      temp=s.temp.at[12:20, 12:20, 1:5].set(2.0))
+        s, res = stam.run3d_python(s, cfg, 4)
+        return s, float(res[-1])
+
+    s_hi, r_hi = run(base)
+    s_mx, r_mx = run(mixed)
+    # residual = post-advect (exact) solve quality in BOTH schedules
+    assert r_mx < 1e-5 and r_hi < 1e-5, (r_mx, r_hi)
+    assert r_mx < 100 * max(r_hi, 1e-12)
+    for f in ("u", "v", "w", "dens", "temp"):
+        a = np.asarray(getattr(s_mx, f))
+        b = np.asarray(getattr(s_hi, f))
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a, b, atol=5e-3 * scale, err_msg=f)

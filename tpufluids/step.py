@@ -363,6 +363,9 @@ def run(state: ParticleState, cfg: SPHConfig, n_steps: int,
             lambda *xs: jnp.asarray(_np.stack(xs)), *all_m)
         return state, metrics
 
+    # surfaces an invalid sort_every combination instead of silently
+    # running the every-step-sort scan path (advisor r1 pattern)
+    use_sort_every(cfg, subbin_parity)
     chunk = snapshot_every if snapshot_every > 0 else n_steps
     all_metrics = []
     step = 0
