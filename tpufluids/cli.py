@@ -54,6 +54,13 @@ def build_parser():
                             "(default: on for unidyn, off for base — the "
                             "reference's active behavior)")
         p.add_argument("--split-reinjection", action="store_true")
+        if name == "base_dam":
+            p.add_argument("--sort-every", type=int, default=1,
+                           help="spatial-sort cadence: 1 = every step "
+                                "(the reference's thrust cadence, "
+                                "solver.cu:181); K > 1 amortizes the "
+                                "sort over K steps (base variant + "
+                                "Pallas backend; SPHConfig.sort_every)")
     for name in ("smoke2d", "plume3d", "grid3d", "grid3d_sharded"):
         p = sub.add_parser(name)
         _add_common(p)
@@ -119,6 +126,8 @@ def run_sph(args):
             # pallas_col_cap.
             from tpufluids.binning import suggest_col_cap
             cfg = cfg.replace(pallas_col_cap=suggest_col_cap(state, cfg))
+        if args.sort_every > 1:
+            cfg = cfg.replace(sort_every=args.sort_every)
     else:
         cfg = UNIDYN_CONFIG
         if args.split_reinjection:
